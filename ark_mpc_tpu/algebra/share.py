@@ -1,0 +1,110 @@
+"""SPDZ secret-share algebra: (share, MAC) pairs with local linear ops.
+
+TPU-native analog of `online-phase/src/algebra/scalar/share.rs:32-191` and
+`algebra/curve/share.rs:25-116`.  A `ScalarShare` holds a *batch* of
+authenticated shares as two limb arrays; every op is a fused vectorized
+kernel over the whole batch.  This layer is pure and local (no communication)
+— the exact algebra the protocol layers build on:
+
+  - linear ops act on share and MAC together (`share.rs:85-133`)
+  - `add_public` adds to party 0's share only, while BOTH parties add
+    `mac_key_share * rhs` to the MAC (`share.rs:74-78`) — the party-0
+    asymmetry that makes additive shares of public constants well-defined.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+
+from .scalar import Scalar
+
+PARTY0 = 0
+PARTY1 = 1
+
+
+@dataclass
+class ScalarShare:
+    """Additive share + SPDZ MAC share of a batch of field elements."""
+
+    share: Scalar
+    mac: Scalar
+
+    @property
+    def shape(self):
+        return self.share.shape
+
+    @property
+    def size(self):
+        return self.share.size
+
+    # -- linear algebra (local; `share.rs:85-133`) -------------------------
+    def __add__(self, other: "ScalarShare"):
+        return ScalarShare(self.share + other.share, self.mac + other.mac)
+
+    def __sub__(self, other: "ScalarShare"):
+        return ScalarShare(self.share - other.share, self.mac - other.mac)
+
+    def __neg__(self):
+        return ScalarShare(-self.share, -self.mac)
+
+    def mul_public(self, rhs: Scalar):
+        """Multiply by a public value: scales share and MAC (`share.rs:124-133`)."""
+        return ScalarShare(self.share * rhs, self.mac * rhs)
+
+    def __mul__(self, rhs):
+        if isinstance(rhs, Scalar):
+            return self.mul_public(rhs)
+        return NotImplemented
+
+    __rmul__ = __mul__
+
+    def add_public(self, rhs: Scalar, mac_key: Scalar, party_id: int):
+        """Add a public value (`share.rs:74-78`): party 0 updates the share,
+        both parties update the MAC by `mac_key_share * rhs`."""
+        share = self.share + rhs if party_id == PARTY0 else self.share
+        return ScalarShare(share, self.mac + mac_key * rhs)
+
+    def sub_public(self, rhs: Scalar, mac_key: Scalar, party_id: int):
+        return self.add_public(-rhs, mac_key, party_id)
+
+    def matmul_public_right(self, rhs: Scalar) -> "ScalarShare":
+        """[X] @ E for public E: linear, applies to share and MAC."""
+        return ScalarShare(self.share @ rhs, self.mac @ rhs)
+
+    def matmul_public_left(self, lhs: Scalar) -> "ScalarShare":
+        """D @ [X] for public D."""
+        return ScalarShare(lhs @ self.share, lhs @ self.mac)
+
+    # -- batch structure ---------------------------------------------------
+    def __getitem__(self, idx):
+        return ScalarShare(self.share[idx], self.mac[idx])
+
+    def reshape(self, *shape):
+        return ScalarShare(self.share.reshape(*shape), self.mac.reshape(*shape))
+
+    @classmethod
+    def concatenate(cls, items, axis=0):
+        return cls(
+            Scalar.concatenate([it.share for it in items], axis=axis),
+            Scalar.concatenate([it.mac for it in items], axis=axis),
+        )
+
+    def sum(self, axis=0):
+        """Share-wise sum (the `Sum` impl at `share.rs:104-111`)."""
+        return ScalarShare(self.share.sum(axis), self.mac.sum(axis))
+
+    @classmethod
+    def zeros(cls, shape=()):
+        return cls(Scalar.zeros(shape), Scalar.zeros(shape))
+
+    def __repr__(self):
+        return f"ScalarShare(shape={self.shape})"
+
+
+jax.tree_util.register_pytree_node(
+    ScalarShare,
+    lambda s: ((s.share, s.mac), None),
+    lambda aux, ch: ScalarShare(ch[0], ch[1]),
+)

@@ -1,0 +1,345 @@
+"""The MPC fabric: an eager, round-based batched runtime.
+
+This is the TPU-native inversion (SURVEY.md §7) of the reference's
+`MpcFabric` computation-graph runtime (`online-phase/src/fabric.rs`,
+`fabric/executor/*`): instead of allocating per-gate boxed closures on a
+dynamic DAG driven by futures, *shares are arrays* and every protocol step is
+a fused, jitted kernel over the whole batch followed by (at most) one
+coalesced network flush.  The communication pattern of the reference's
+batched paths is preserved exactly:
+
+  - `open_batch`: one message each way carrying all n shares, then one local
+    combine (`authenticated_scalar.rs:129-172`).
+  - `open_authenticated_batch`: open + batched MAC-check values + ONE
+    commitment + one value exchange + one blinder exchange — 4 messages each
+    way regardless of n (`authenticated_scalar.rs:278-354`, SURVEY §3.3).
+  - Beaver mul: one triple batch, one open round of the concatenated
+    (d, e) masks, one combine kernel (`authenticated_scalar.rs:846-879`).
+  - Party 0 always sends first (`fabric.rs:755-765`).
+
+MAC checks can also be *deferred*: every authenticated open's check values
+accumulate and are verified by a single commit-reveal round at the end of the
+program (the SPDZ aggregated check; reference aggregates per-batch, we extend
+per-program per SURVEY §7(e)).
+"""
+
+from __future__ import annotations
+
+import functools
+import secrets
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra.scalar import Scalar
+from ..algebra.share import PARTY0, PARTY1, ScalarShare
+from ..offline.base import PreprocessingPhase
+from . import commitment, messages
+from .errors import AuthenticationError
+from .transport import Transport
+
+# ---------------------------------------------------------------------------
+# fused local kernels (jitted once per shape; party_id/static)
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _combine_open(my_share: Scalar, their_share: Scalar) -> Scalar:
+    return my_share + their_share
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _beaver_combine(party_id: int, a: ScalarShare, b: ScalarShare,
+                    c: ScalarShare, d: Scalar, e: Scalar,
+                    mac_key: Scalar) -> ScalarShare:
+    """[x*y] = d*e + d*[b] + e*[a] + [c]  (`authenticated_scalar.rs:826-841`)."""
+    de = d * e
+    res = b.mul_public(d) + a.mul_public(e) + c
+    return res.add_public(de, mac_key, party_id)
+
+
+@jax.jit
+def _mask_lhs_rhs(x: ScalarShare, y: ScalarShare, a: ScalarShare,
+                  b: ScalarShare) -> Scalar:
+    """Share parts of (x - a, y - b) concatenated for one open round."""
+    return Scalar.concatenate([(x - a).share, (y - b).share])
+
+
+@jax.jit
+def _mac_check_values(mac_key: Scalar, value: Scalar, mac: Scalar) -> Scalar:
+    """d = key_share * opened_value - mac_share (`authenticated_scalar.rs:299-311`)."""
+    return mac_key * value - mac
+
+
+@jax.jit
+def _check_zero_sum(mine: Scalar, theirs: Scalar):
+    return (mine + theirs).is_zero()
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _input_share(party_id: int, mask_share: ScalarShare, masked: Scalar,
+                 mac_key: Scalar) -> ScalarShare:
+    """[v] = [mask] + (v - mask) as public (`fabric.rs:552-575`)."""
+    return mask_share.add_public(masked, mac_key, party_id)
+
+
+class MpcFabric:
+    """Two-party SPDZ online-phase context for one party.
+
+    Public surface mirrors `MpcFabric<C>` (`fabric.rs:163-185`) re-shaped
+    batch-first: input sharing, opens, authenticated arithmetic, offline
+    sampling passthroughs, and messaging.
+    """
+
+    def __init__(self, party_id: int, transport: Transport,
+                 offline: PreprocessingPhase,
+                 rng: np.random.Generator | None = None):
+        assert party_id == transport.party_id
+        self.party_id = party_id
+        self.transport = transport
+        self.offline = offline
+        self.mac_key = offline.get_mac_key_share()
+        self.rng = rng or np.random.default_rng(secrets.randbits(64))
+        # deferred MAC-check accumulators (flattened d-value Scalars / points)
+        self._deferred: list[Scalar] = []
+        self._deferred_points: list = []
+        self.n_rounds = 0
+
+    # -- low-level messaging ----------------------------------------------
+    def _exchange_arrays(self, items):
+        """One coalesced frame each way; party 0 sends first."""
+        self.n_rounds += 1
+        frame = messages.encode_arrays(items)
+        return messages.decode_arrays(self.transport.exchange(frame))
+
+    def send_arrays(self, items):
+        self.transport.send(messages.encode_arrays(items))
+
+    def recv_arrays(self):
+        return messages.decode_arrays(self.transport.recv())
+
+    def exchange_scalars(self, s: Scalar) -> Scalar:
+        """Exchange Montgomery-form limb arrays (`fabric.rs:751-765` analog)."""
+        (theirs,) = self._exchange_arrays([np.asarray(jax.device_get(s.limbs))])
+        return Scalar(jnp.asarray(theirs))
+
+    # -- properties --------------------------------------------------------
+    def mac_key_share(self) -> Scalar:
+        return self.mac_key
+
+    @property
+    def peer_id(self) -> int:
+        return PARTY1 if self.party_id == PARTY0 else PARTY0
+
+    # -- input sharing (`fabric.rs:552-575`) -------------------------------
+    def share_values(self, values: Scalar | None, sender: int,
+                     n: int | None = None) -> ScalarShare:
+        """Secret-share `values` held by `sender` into authenticated shares.
+
+        The sender masks with an offline input mask and sends v - mask; both
+        parties add the public masked value onto their mask share.
+        """
+        if self.party_id == sender:
+            assert values is not None
+            n = values.size
+            flat = values.reshape(n)
+            mask, mask_share = self.offline.next_local_input_mask_batch(n)
+            masked = flat - mask
+            self.send_arrays([np.asarray(jax.device_get(masked.limbs))])
+            shape = values.shape
+        else:
+            assert n is not None
+            mask_share = self.offline.next_counterparty_input_mask_batch(n)
+            (raw,) = self.recv_arrays()
+            masked = Scalar(jnp.asarray(raw))
+            shape = masked.shape
+        out = _input_share(self.party_id, mask_share, masked, self.mac_key)
+        return out.reshape(*shape)
+
+    def share_public(self, values: Scalar) -> ScalarShare:
+        """Both parties know `values`; produce a valid authenticated sharing
+        (zero share + add_public), no communication."""
+        return ScalarShare.zeros(values.shape).add_public(
+            values, self.mac_key, self.party_id
+        )
+
+    # -- opening -----------------------------------------------------------
+    def open(self, x: ScalarShare) -> Scalar:
+        """Open shares without MAC check (`authenticated_scalar.rs:129-172`):
+        one exchange of the share vector, one combine kernel."""
+        mine = np.asarray(jax.device_get(x.share.limbs))
+        (theirs,) = self._exchange_arrays([mine])
+        return _combine_open(x.share, Scalar(jnp.asarray(theirs)))
+
+    def open_authenticated(self, x: ScalarShare, defer: bool = False) -> Scalar:
+        """Open and check MACs (`authenticated_scalar.rs:278-354`).
+
+        With `defer=True` the commit-reveal check round is postponed; call
+        `verify_deferred()` once at the end of the program (one MAC-check
+        round for the whole program).  Raises `AuthenticationError` on a bad
+        MAC (malicious abort).
+        """
+        value = self.open(x)
+        d = _mac_check_values(self.mac_key, value, x.mac)
+        flat = d.reshape(d.size)
+        if defer:
+            self._deferred.append(flat)
+        else:
+            self._run_mac_check(flat)
+        return value
+
+    def verify_deferred(self) -> None:
+        """Run ONE commit-reveal MAC check over every deferred open (and one
+        for deferred point opens, if any)."""
+        if self._deferred:
+            d = self._deferred[0] if len(self._deferred) == 1 else \
+                Scalar.concatenate(self._deferred)
+            self._deferred = []
+            self._run_mac_check(d)
+        if self._deferred_points:
+            from . import points as _points
+
+            _points.verify_deferred_points(self)
+
+    # -- curve-point protocols (`fabric/points.py`; lazy import to avoid
+    # compiling curve kernels for scalar-only programs) --------------------
+    def share_points(self, points=None, sender: int = 0, n: int | None = None):
+        from . import points as _points
+
+        return _points.share_points(self, points, sender, n)
+
+    def share_public_points(self, points):
+        from . import points as _points
+
+        return _points.share_public_points(self, points)
+
+    def open_points(self, ps):
+        from . import points as _points
+
+        return _points.open_points(self, ps)
+
+    def open_authenticated_points(self, ps, defer: bool = False):
+        from . import points as _points
+
+        return _points.open_authenticated_points(self, ps, defer)
+
+    def mul_points(self, x, ps):
+        from . import points as _points
+
+        return _points.beaver_mul_points(self, x, ps)
+
+    def mul_generator(self, x):
+        from . import points as _points
+
+        return _points.mul_generator(self, x)
+
+    def msm(self, scalars, points):
+        from . import points as _points
+
+        return _points.msm_authenticated(self, scalars, points)
+
+    def _run_mac_check(self, d: Scalar) -> None:
+        """Commit-exchange-reveal-verify of MAC check values
+        (`authenticated_scalar.rs:222-354`, commit scheme `commitment.rs`)."""
+        blinder = Scalar.random((), self.rng)
+        my_comm = commitment.commit(d, blinder)
+
+        # Round 1: exchange commitments.
+        peer_comm = self.exchange_scalars(my_comm)
+        # Round 2: exchange MAC-check values (canonical limbs, hash-ready).
+        my_d_canon = np.asarray(jax.device_get(d.canonical_limbs()))
+        (peer_d_canon,) = self._exchange_arrays([my_d_canon])
+        # Round 3: exchange blinders.
+        peer_blinder = self.exchange_scalars(blinder)
+
+        # Verify: peer's commitment opens AND d_mine + d_peer == 0 pairwise.
+        peer_d = Scalar(_to_mont_arr(jnp.asarray(peer_d_canon)))
+        if not commitment.verify(peer_d, peer_blinder, peer_comm):
+            raise AuthenticationError("MAC check commitment failed to verify")
+        ok = np.asarray(jax.device_get(_check_zero_sum(d, peer_d)))
+        if not ok.all():
+            raise AuthenticationError("MAC check failed: shares of key*v - mac do not sum to zero")
+
+    # -- authenticated arithmetic -----------------------------------------
+    def mul(self, x: ScalarShare, y: ScalarShare) -> ScalarShare:
+        """Beaver multiplication, element-wise over the batch
+        (`authenticated_scalar.rs:846-879`): one triple batch, ONE open round
+        for the concatenated (d, e) masks, one combine kernel."""
+        shape = x.shape
+        n = x.size
+        xf, yf = x.reshape(n), y.reshape(n)
+        a, b, c = self.offline.next_triplet_batch(n)
+        masked = _mask_lhs_rhs(xf, yf, a, b)
+        mine = np.asarray(jax.device_get(masked.limbs))
+        (theirs,) = self._exchange_arrays([mine])
+        opened = _combine_open(Scalar(masked.limbs), Scalar(jnp.asarray(theirs)))
+        d, e = opened[:n], opened[n:]
+        out = _beaver_combine(self.party_id, a, b, c, d, e, self.mac_key)
+        return out.reshape(*shape)
+
+    def mul_public(self, x: ScalarShare, k: Scalar) -> ScalarShare:
+        return x.mul_public(k)
+
+    def add_public(self, x: ScalarShare, k: Scalar) -> ScalarShare:
+        return x.add_public(k, self.mac_key, self.party_id)
+
+    def sub_public(self, x: ScalarShare, k: Scalar) -> ScalarShare:
+        return x.sub_public(k, self.mac_key, self.party_id)
+
+    def inverse(self, x: ScalarShare, defer_check: bool = False) -> ScalarShare:
+        """Batched shared inversion via masked open
+        (`authenticated_scalar.rs:50-82`): [x^-1] = r * open(x*r)^-1.
+        Zero inputs map to zero output."""
+        shape = x.shape
+        n = x.size
+        r = self.offline.next_shared_value_batch(n)
+        m = self.mul(x.reshape(n), r)
+        m_open = self.open_authenticated(m, defer=defer_check)
+        m_inv = m_open.inverse()
+        return r.mul_public(m_inv).reshape(*shape)
+
+    def pow(self, x: ScalarShare, e: int) -> ScalarShare:
+        """Public-exponent exponentiation by recursive squaring
+        (`authenticated_scalar.rs:84-100`); log2(e) Beaver rounds."""
+        e = int(e)
+        if e == 0:
+            return self.share_public(Scalar.ones(x.shape))
+        if e == 1:
+            return x
+        half = self.pow(x, e // 2)
+        res = self.mul(half, half)
+        if e % 2 == 1:
+            res = self.mul(res, x)
+        return res
+
+    # -- offline sampling passthroughs (`fabric.rs:876-978`) ---------------
+    def next_triple_batch(self, n: int):
+        return self.offline.next_triplet_batch(n)
+
+    def random_shared_scalars(self, n: int) -> ScalarShare:
+        return self.offline.next_shared_value_batch(n)
+
+    def random_inverse_pairs(self, n: int):
+        return self.offline.next_shared_inverse_pair_batch(n)
+
+    def random_shared_bits(self, n: int) -> ScalarShare:
+        return self.offline.next_shared_bit_batch(n)
+
+    # -- constants (`fabric.rs:499-546`) -----------------------------------
+    def zero_authenticated(self, shape=()) -> ScalarShare:
+        return ScalarShare.zeros(shape)
+
+    def one_authenticated(self, shape=()) -> ScalarShare:
+        return self.share_public(Scalar.ones(shape))
+
+    def shutdown(self):
+        self.transport.close()
+
+
+@jax.jit
+def _to_mont_arr(canon_limbs):
+    from ..algebra import limbs as lb
+    from ..algebra.fields import SCALAR_FIELD
+
+    return lb.to_mont(SCALAR_FIELD, canon_limbs)

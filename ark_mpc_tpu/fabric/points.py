@@ -1,0 +1,239 @@
+"""Authenticated curve-point protocols.
+
+Analog of `online-phase/src/algebra/curve/authenticated_curve.rs` and the
+point halves of `fabric.rs` (share_point `fabric.rs:603-650`): opening with
+point MAC checks, Beaver scalar-x-point multiplication via the generator
+trick, generator multiplication, and authenticated MSM.  Batch-first: one
+open round moves the whole point batch as affine coordinate arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..algebra import limbs as lb
+from ..algebra.curve import CurvePoint
+from ..algebra.fields import BASE_FIELD
+from ..algebra.point_share import PointShare, scalar_share_mul_point
+from ..algebra.scalar import BaseFelt, Scalar
+from ..algebra.share import ScalarShare
+from . import commitment
+from .context import MpcFabric, _combine_open
+from .errors import AuthenticationError
+
+# ---------------------------------------------------------------------------
+# wire conversion: points travel as canonical affine coordinate limb arrays
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _point_to_wire(pt: CurvePoint):
+    x, y = pt.to_affine()
+    return (lb.from_mont(BASE_FIELD, x.limbs), lb.from_mont(BASE_FIELD, y.limbs))
+
+
+@jax.jit
+def _point_from_wire(xc, yc) -> CurvePoint:
+    x = BaseFelt(lb.to_mont(BASE_FIELD, xc))
+    y = BaseFelt(lb.to_mont(BASE_FIELD, yc))
+    return CurvePoint.from_affine(x, y)
+
+
+def _wire_arrays(pt: CurvePoint):
+    xc, yc = _point_to_wire(pt)
+    return np.asarray(jax.device_get(xc)), np.asarray(jax.device_get(yc))
+
+
+def point_bytes_be(pt: CurvePoint) -> bytes:
+    """Canonical affine (x || y) big-endian bytes per point, vectorized —
+    the `ToBytes` role for commitment hashing (`authenticated_curve.rs`
+    point commitments hash point bytes)."""
+    xc, yc = _point_to_wire(pt)
+    xs = np.asarray(jax.device_get(xc)).reshape(lb.NLIMBS, -1)
+    ys = np.asarray(jax.device_get(yc)).reshape(lb.NLIMBS, -1)
+    xb = xs.astype(">u2")[::-1].T  # (n, 16) most-significant limb first
+    yb = ys.astype(">u2")[::-1].T
+    return np.concatenate([xb, yb], axis=1).tobytes()
+
+
+# ---------------------------------------------------------------------------
+# fused local kernels
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _combine_point_open(mine: CurvePoint, theirs: CurvePoint) -> CurvePoint:
+    return mine + theirs
+
+
+@jax.jit
+def _point_mac_check(mac_key: Scalar, opened: CurvePoint,
+                     mac: CurvePoint) -> CurvePoint:
+    """d = key_share * opened - mac_share (point form)."""
+    return opened.mul(mac_key) - mac
+
+
+@jax.jit
+def _point_sum_is_identity(mine: CurvePoint, theirs: CurvePoint):
+    return (mine + theirs).is_identity()
+
+
+# ---------------------------------------------------------------------------
+# protocols
+# ---------------------------------------------------------------------------
+
+
+def share_points(fabric: MpcFabric, points: CurvePoint | None, sender: int,
+                 n: int | None = None) -> PointShare:
+    """Input-share points via scalar masks and the generator trick
+    (`fabric.rs:603-650`): sender sends P - mask*G; [P] = [mask]*G + masked."""
+    gen = CurvePoint.generator
+    if fabric.party_id == sender:
+        assert points is not None
+        n = points.size
+        flat = points.reshape(n)
+        mask, mask_share = fabric.offline.next_local_input_mask_batch(n)
+        masked = flat - gen((n,)).mul(mask)
+        fabric.send_arrays(list(_wire_arrays(masked)))
+        shape = points.shape
+    else:
+        assert n is not None
+        mask_share = fabric.offline.next_counterparty_input_mask_batch(n)
+        xc, yc = fabric.recv_arrays()
+        masked = _point_from_wire(jnp.asarray(xc), jnp.asarray(yc))
+        shape = (n,)
+    mask_points = scalar_share_mul_point(mask_share, gen((n,)))
+    out = mask_points.add_public(masked, fabric.mac_key, fabric.party_id)
+    return out.reshape(*shape)
+
+
+def share_public_points(fabric: MpcFabric, points: CurvePoint) -> PointShare:
+    """Both parties know the points; make a valid authenticated sharing."""
+    return PointShare.identity(points.shape).add_public(
+        points, fabric.mac_key, fabric.party_id
+    )
+
+
+def open_points(fabric: MpcFabric, ps: PointShare) -> CurvePoint:
+    """Open without MAC check (`authenticated_curve.rs` open_batch analog):
+    one exchange of affine share coordinates + one point-add kernel."""
+    xa, ya = _wire_arrays(ps.share)
+    theirs = fabric._exchange_arrays([xa, ya])
+    their_pt = _point_from_wire(jnp.asarray(theirs[0]), jnp.asarray(theirs[1]))
+    return _combine_point_open(ps.share, their_pt)
+
+
+def open_authenticated_points(fabric: MpcFabric, ps: PointShare,
+                              defer: bool = False) -> CurvePoint:
+    """Open + point MAC check (`authenticated_curve.rs:35-283`): commit to
+    the check point's bytes, exchange, verify sum == identity."""
+    opened = open_points(fabric, ps)
+    d = _point_mac_check(fabric.mac_key, opened, ps.mac)
+    flat = d.reshape(d.size)
+    if defer:
+        fabric._deferred_points.append(flat)
+    else:
+        run_point_mac_check(fabric, flat)
+    return opened
+
+
+def run_point_mac_check(fabric: MpcFabric, d: CurvePoint) -> None:
+    blinder = Scalar.random((), fabric.rng)
+    d_bytes = point_bytes_be(d)
+    my_comm = commitment.commit_bytes(d_bytes, blinder)
+
+    peer_comm = fabric.exchange_scalars(my_comm)
+    xa, ya = _wire_arrays(d)
+    theirs = fabric._exchange_arrays([xa, ya])
+    peer_blinder = fabric.exchange_scalars(blinder)
+
+    peer_d = _point_from_wire(jnp.asarray(theirs[0]), jnp.asarray(theirs[1]))
+    if not commitment.verify_bytes(point_bytes_be(peer_d), peer_blinder, peer_comm):
+        raise AuthenticationError("point MAC check commitment failed")
+    ok = np.asarray(jax.device_get(_point_sum_is_identity(d, peer_d)))
+    if not ok.all():
+        raise AuthenticationError("point MAC check failed")
+
+
+def verify_deferred_points(fabric: MpcFabric) -> None:
+    if not getattr(fabric, "_deferred_points", None):
+        return
+    ds = fabric._deferred_points
+    d = ds[0] if len(ds) == 1 else CurvePoint.concatenate(ds)
+    fabric._deferred_points = []
+    run_point_mac_check(fabric, d)
+
+
+def mul_generator(fabric: MpcFabric, x: ScalarShare) -> PointShare:
+    """[x] * G, local (`authenticated_curve.rs:754` batch_mul_generator)."""
+    return scalar_share_mul_point(x, CurvePoint.generator(x.shape))
+
+
+def mul_public_point(x: ScalarShare, points: CurvePoint) -> PointShare:
+    """[x] * P for public P, local."""
+    return scalar_share_mul_point(x, points)
+
+
+def beaver_mul_points(fabric: MpcFabric, x: ScalarShare,
+                      ps: PointShare) -> PointShare:
+    """[x * P] via the generator-trick Beaver protocol
+    (`authenticated_curve.rs:653-712`): with scalar triple (a,b,c),
+    open d = x - a and E = P - b*G; result = d*E + d*[bG] + [a]*E + [c]*G."""
+    n = x.size
+    xf = x.reshape(n)
+    pf = ps.reshape(n)
+    a, b, c = fabric.offline.next_triplet_batch(n)
+    b_gen = mul_generator(fabric, b)
+
+    # one coalesced round: scalar masks + point masks
+    masked_scalar = (xf - a).share
+    masked_point = (pf - b_gen).share
+    ms = np.asarray(jax.device_get(masked_scalar.limbs))
+    xa, ya = _wire_arrays(masked_point)
+    theirs = fabric._exchange_arrays([ms, xa, ya])
+    d = _combine_open(masked_scalar, Scalar(jnp.asarray(theirs[0])))
+    e_pt = _combine_point_open(
+        masked_point, _point_from_wire(jnp.asarray(theirs[1]), jnp.asarray(theirs[2]))
+    )
+
+    return _beaver_point_combine(fabric.party_id, a, b_gen, c, d, e_pt,
+                                 fabric.mac_key).reshape(*x.shape)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _beaver_point_combine_core(a: ScalarShare, b_gen: PointShare,
+                               c: ScalarShare, d: Scalar, e_pt: CurvePoint,
+                               mac_key: Scalar, party_is_0: bool):
+    # d*[bG] + [a]*E + [c]*G  then add_public(d*E)
+    term_db = b_gen.mul_public(d)
+    term_ae = scalar_share_mul_point(a, e_pt)
+    term_c = scalar_share_mul_point(c, CurvePoint.generator(c.shape))
+    res = term_db + term_ae + term_c
+    de = e_pt.mul(d)
+    share = res.share + de if party_is_0 else res.share
+    mac = res.mac + de.mul(mac_key)
+    return PointShare(share, mac)
+
+
+def _beaver_point_combine(party_id, a, b_gen, c, d, e_pt, mac_key):
+    return _beaver_point_combine_core(a, b_gen, c, d, e_pt, mac_key,
+                                      party_id == 0)
+
+
+def msm_authenticated(fabric: MpcFabric, scalars: ScalarShare,
+                      points: PointShare) -> PointShare:
+    """Authenticated MSM = batched Beaver muls + tree point sum
+    (`authenticated_curve.rs:785-818`)."""
+    prods = beaver_mul_points(fabric, scalars, points)
+    return prods.sum()
+
+
+def msm_public_points(scalars: ScalarShare, points: CurvePoint) -> PointShare:
+    """MSM with public points — one local kernel, no communication
+    (`curve/curve.rs:616-657` msm_authenticated)."""
+    return scalar_share_mul_point(scalars, points).sum()

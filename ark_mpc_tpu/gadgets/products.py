@@ -1,0 +1,61 @@
+"""Prefix products of shared values.
+
+Analog of `online-phase/src/gadgets.rs:105-148` (Bar-Ilan & Beaver blinded
+telescoping products): blind v_i as b_inv[i-1] * v_i * b[i], open the blinded
+values, build *public* prefix products, then unblind with b[0] (left) and
+b_inv[i] (right).  Two Beaver rounds + one authenticated open round,
+independent of n; the public prefix scan runs as a log-depth kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..algebra import limbs as lb
+from ..algebra.fields import SCALAR_FIELD
+from ..algebra.scalar import Scalar
+from ..algebra.share import ScalarShare
+from ..fabric.context import MpcFabric
+
+
+@jax.jit
+def _public_prefix_products(values: Scalar) -> Scalar:
+    """Inclusive prefix product of public values, Hillis-Steele log-depth scan."""
+    x = values.limbs  # (16, n)
+    n = x.shape[1]
+    shift = 1
+    while shift < n:
+        shifted = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(SCALAR_FIELD.one_mont, jnp.uint32)[:, None], (x.shape[0], shift)),
+             x[:, : n - shift]],
+            axis=1,
+        )
+        x = lb.mont_mul(SCALAR_FIELD, x, shifted)
+        shift *= 2
+    return Scalar(x)
+
+
+def prefix_product(fabric: MpcFabric, values: ScalarShare,
+                   defer_check: bool = False) -> ScalarShare:
+    """[v_1], ..., [v_n] -> [v_1], [v_1 v_2], ..., [prod v_i]."""
+    n = values.size
+    flat = values.reshape(n)
+    b, b_inv = fabric.random_inverse_pairs(n + 1)
+
+    # blinded_i = b_inv[i-1] * v_i * b[i]  (two Beaver rounds)
+    partial = fabric.mul(b_inv[:n], flat)
+    blinded = fabric.mul(partial, b[1:])
+
+    blinded_open = fabric.open_authenticated(blinded, defer=defer_check)
+
+    # public prefix products of the blinded openings
+    prefixes = _public_prefix_products(blinded_open)
+
+    # unblind: prefix_i * b[0] (left, a share scaled by the public prefix)
+    # then one Beaver round with b_inv[i+1] to cancel the right blinder.
+    left = ScalarShare(
+        b[0].share.broadcast_to((n,)), b[0].mac.broadcast_to((n,))
+    ).mul_public(prefixes)
+    out = fabric.mul(left, b_inv[1:])
+    return out.reshape(*values.shape)
