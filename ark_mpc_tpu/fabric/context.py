@@ -94,22 +94,38 @@ class MpcFabric:
 
     def __init__(self, party_id: int, transport: Transport,
                  offline: PreprocessingPhase,
-                 rng: np.random.Generator | None = None):
+                 rng: np.random.Generator | None = None,
+                 collect_stats: bool = False):
         assert party_id == transport.party_id
         self.party_id = party_id
         self.transport = transport
         self.offline = offline
         self.mac_key = offline.get_mac_key_share()
         self.rng = rng or np.random.default_rng(secrets.randbits(64))
+        if collect_stats:
+            from ..utils.stats import FabricStats
+
+            self.stats = FabricStats()
+        else:
+            self.stats = None
         # deferred MAC-check accumulators (flattened d-value Scalars / points)
         self._deferred: list[Scalar] = []
         self._deferred_points: list = []
         self.n_rounds = 0
 
+    def _timed(self, op: str, n: int = 0):
+        if self.stats is None:
+            import contextlib
+
+            return contextlib.nullcontext()
+        return self.stats.timed(op, n)
+
     # -- low-level messaging ----------------------------------------------
     def _exchange_arrays(self, items):
         """One coalesced frame each way; party 0 sends first."""
         self.n_rounds += 1
+        if self.stats is not None:
+            self.stats.rounds += 1
         frame = messages.encode_arrays(items)
         return messages.decode_arrays(self.transport.exchange(frame))
 
@@ -168,9 +184,10 @@ class MpcFabric:
     def open(self, x: ScalarShare) -> Scalar:
         """Open shares without MAC check (`authenticated_scalar.rs:129-172`):
         one exchange of the share vector, one combine kernel."""
-        mine = np.asarray(jax.device_get(x.share.limbs))
-        (theirs,) = self._exchange_arrays([mine])
-        return _combine_open(x.share, Scalar(jnp.asarray(theirs)))
+        with self._timed("open", x.size):
+            mine = np.asarray(jax.device_get(x.share.limbs))
+            (theirs,) = self._exchange_arrays([mine])
+            return _combine_open(x.share, Scalar(jnp.asarray(theirs)))
 
     def open_authenticated(self, x: ScalarShare, defer: bool = False) -> Scalar:
         """Open and check MACs (`authenticated_scalar.rs:278-354`).
@@ -242,6 +259,10 @@ class MpcFabric:
     def _run_mac_check(self, d: Scalar) -> None:
         """Commit-exchange-reveal-verify of MAC check values
         (`authenticated_scalar.rs:222-354`, commit scheme `commitment.rs`)."""
+        with self._timed("mac_check", d.size):
+            return self._run_mac_check_inner(d)
+
+    def _run_mac_check_inner(self, d: Scalar) -> None:
         blinder = Scalar.random((), self.rng)
         my_comm = commitment.commit(d, blinder)
 
@@ -268,15 +289,16 @@ class MpcFabric:
         for the concatenated (d, e) masks, one combine kernel."""
         shape = x.shape
         n = x.size
-        xf, yf = x.reshape(n), y.reshape(n)
-        a, b, c = self.offline.next_triplet_batch(n)
-        masked = _mask_lhs_rhs(xf, yf, a, b)
-        mine = np.asarray(jax.device_get(masked.limbs))
-        (theirs,) = self._exchange_arrays([mine])
-        opened = _combine_open(Scalar(masked.limbs), Scalar(jnp.asarray(theirs)))
-        d, e = opened[:n], opened[n:]
-        out = _beaver_combine(self.party_id, a, b, c, d, e, self.mac_key)
-        return out.reshape(*shape)
+        with self._timed("beaver_mul", n):
+            xf, yf = x.reshape(n), y.reshape(n)
+            a, b, c = self.offline.next_triplet_batch(n)
+            masked = _mask_lhs_rhs(xf, yf, a, b)
+            mine = np.asarray(jax.device_get(masked.limbs))
+            (theirs,) = self._exchange_arrays([mine])
+            opened = _combine_open(Scalar(masked.limbs), Scalar(jnp.asarray(theirs)))
+            d, e = opened[:n], opened[n:]
+            out = _beaver_combine(self.party_id, a, b, c, d, e, self.mac_key)
+            return out.reshape(*shape)
 
     def mul_public(self, x: ScalarShare, k: Scalar) -> ScalarShare:
         return x.mul_public(k)
@@ -332,6 +354,12 @@ class MpcFabric:
 
     def one_authenticated(self, shape=()) -> ScalarShare:
         return self.share_public(Scalar.ones(shape))
+
+    def tracer(self):
+        """Start a batched-circuit trace (see fabric/scheduler.py)."""
+        from .scheduler import Tracer
+
+        return Tracer(self)
 
     def shutdown(self):
         self.transport.close()

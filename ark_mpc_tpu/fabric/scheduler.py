@@ -1,0 +1,239 @@
+"""Batched circuit scheduler: trace, level, fuse, flush.
+
+This is the TPU-native replacement for the reference's computation-graph
+runtime — `MpcFabric`'s per-gate `new_gate_op` closures, the `SegQueue`
+executor with dependency counting (`fabric/executor/single_threaded.rs:
+150-402`), and per-result futures (`fabric/result.rs:249-338`).  The insight
+(SURVEY §2 parallelism table, §7): the reference's out-of-order gate
+execution exists to (a) run independent gates concurrently and (b) overlap
+communication; on TPU both are better served *statically*:
+
+  - users build circuits with operator overloading on `TracedShare` (the
+    `AuthenticatedScalarResult` role) — building is pure graph construction;
+  - `run()` levels the DAG by *communication depth* (number of
+    open/Beaver rounds on the longest dependency path — the same quantity
+    the reference's stats track as "circuit depth", `single_threaded.rs:
+    33-124`);
+  - per level, ALL Beaver multiplications fuse into ONE batched mul (one
+    triple batch, one wire exchange), all inversions into one batched
+    inversion, and all requested opens into one batched authenticated open
+    with a deferred MAC check — the scheduler preserves the reference's
+    4-messages-per-round property (`authenticated_scalar.rs:278-354`) at
+    *program* granularity;
+  - linear gates cost no rounds and evaluate as fused vectorized kernels
+    between flushes.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from ..algebra.scalar import Scalar
+from ..algebra.share import ScalarShare
+from .context import MpcFabric
+
+_ids = itertools.count()
+
+
+@dataclass(eq=False)
+class _Node:
+    op: str  # input | add | sub | neg | mul_pub | add_pub | mul | inv | sum
+    deps: tuple
+    payload: object = None
+    shape: tuple = ()
+    nid: int = field(default_factory=lambda: next(_ids))
+
+
+class TracedShare:
+    """Symbolic authenticated share batch inside a traced circuit."""
+
+    def __init__(self, tracer: "Tracer", node: _Node, shape: tuple):
+        self.tracer = tracer
+        self.node = node
+        self.shape = shape
+
+    # -- operator surface (mirrors AuthenticatedScalarResult) --------------
+    def _lift(self, other):
+        if isinstance(other, TracedShare):
+            return other
+        if isinstance(other, ScalarShare):
+            return self.tracer.wrap(other)
+        return NotImplemented
+
+    def __add__(self, other):
+        if isinstance(other, Scalar):
+            return self.tracer._mk("add_pub", (self,), other, self.shape)
+        other = self._lift(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return self.tracer._mk("add", (self, other), None, self.shape)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        if isinstance(other, Scalar):
+            return self.tracer._mk("add_pub", (self,), -other, self.shape)
+        other = self._lift(other)
+        if other is NotImplemented:
+            return NotImplemented
+        return self.tracer._mk("sub", (self, other), None, self.shape)
+
+    def __neg__(self):
+        return self.tracer._mk("neg", (self,), None, self.shape)
+
+    def __mul__(self, other):
+        if isinstance(other, Scalar):
+            return self.tracer._mk("mul_pub", (self,), other, self.shape)
+        other = self._lift(other)
+        if other is NotImplemented:
+            return NotImplemented
+        assert other.shape == self.shape, "traced mul requires equal shapes"
+        return self.tracer._mk("mul", (self, other), None, self.shape)
+
+    __rmul__ = __mul__
+
+    def inverse(self):
+        return self.tracer._mk("inv", (self,), None, self.shape)
+
+    def sum(self):
+        return self.tracer._mk("sum", (self,), None, ())
+
+    def open(self) -> "TracedOpen":
+        return self.tracer.open(self)
+
+
+@dataclass(eq=False)
+class TracedOpen:
+    """Handle to a value that will be opened at flush time."""
+
+    source: TracedShare
+    value: Scalar | None = None
+
+
+class Tracer:
+    """Collects a circuit, then executes it round-by-round."""
+
+    def __init__(self, fabric: MpcFabric):
+        self.fabric = fabric
+        self.opens: list[TracedOpen] = []
+
+    def wrap(self, share: ScalarShare) -> TracedShare:
+        return TracedShare(
+            self, _Node("input", (), share, tuple(share.shape)), share.shape
+        )
+
+    def _mk(self, op, deps, payload, shape) -> TracedShare:
+        node = _Node(op, tuple(d.node for d in deps), payload, tuple(shape))
+        return TracedShare(self, node, shape)
+
+    def open(self, ts: TracedShare) -> TracedOpen:
+        handle = TracedOpen(ts)
+        self.opens.append(handle)
+        return handle
+
+    # -- execution ---------------------------------------------------------
+    def run(self, outputs: list[TracedShare] | None = None,
+            verify: bool = True) -> list[ScalarShare]:
+        """Evaluate the circuit: fuse per-round muls/invs, flush opens once,
+        run ONE deferred MAC check at the end (when `verify`)."""
+        outputs = outputs or []
+        roots = [o.node for o in outputs] + [h.source.node for h in self.opens]
+
+        depth: dict[int, int] = {}
+        order: list[_Node] = []
+        seen: set[int] = set()
+
+        def visit(n: _Node):
+            if n.nid in seen:
+                return
+            seen.add(n.nid)
+            for d in n.deps:
+                visit(d)
+            dd = max((depth[d.nid] for d in n.deps), default=0)
+            depth[n.nid] = dd + (1 if n.op in ("mul", "inv") else 0)
+            order.append(n)
+
+        for r in roots:
+            visit(r)
+
+        values: dict[int, ScalarShare] = {}
+        max_depth = max(depth.values(), default=0)
+
+        def eval_local(n: _Node) -> ScalarShare:
+            """Evaluate communication-free nodes (memoized)."""
+            if n.nid in values:
+                return values[n.nid]
+            deps = [eval_local(d) for d in n.deps]
+            if n.op == "input":
+                out = n.payload
+            elif n.op == "add":
+                out = deps[0] + deps[1]
+            elif n.op == "sub":
+                out = deps[0] - deps[1]
+            elif n.op == "neg":
+                out = -deps[0]
+            elif n.op == "mul_pub":
+                out = deps[0].mul_public(n.payload)
+            elif n.op == "add_pub":
+                out = deps[0].add_public(
+                    n.payload, self.fabric.mac_key, self.fabric.party_id
+                )
+            elif n.op == "sum":
+                out = deps[0].sum()
+            else:  # mul/inv handled by the round loop
+                raise AssertionError(f"comm node {n.op} not yet flushed")
+            values[n.nid] = out
+            return out
+
+        # round-by-round: batch ALL muls (and invs) of one depth level into
+        # single fused protocol calls
+        for level in range(1, max_depth + 1):
+            muls = [n for n in order if n.op == "mul" and depth[n.nid] == level]
+            invs = [n for n in order if n.op == "inv" and depth[n.nid] == level]
+            if muls:
+                lhs = [eval_local(n.deps[0]).reshape(_numel(n)) for n in muls]
+                rhs = [eval_local(n.deps[1]).reshape(_numel(n)) for n in muls]
+                big = self.fabric.mul(
+                    ScalarShare.concatenate(lhs), ScalarShare.concatenate(rhs)
+                )
+                off = 0
+                for n in muls:
+                    k = _numel(n)
+                    values[n.nid] = big[off : off + k]
+                    off += k
+            if invs:
+                xs = [eval_local(n.deps[0]).reshape(_numel(n)) for n in invs]
+                big = self.fabric.inverse(
+                    ScalarShare.concatenate(xs), defer_check=True
+                )
+                off = 0
+                for n in invs:
+                    k = _numel(n)
+                    values[n.nid] = big[off : off + k]
+                    off += k
+
+        # one coalesced open flush for everything requested
+        if self.opens:
+            flat = [
+                eval_local(h.source.node).reshape(_numel(h.source.node))
+                for h in self.opens
+            ]
+            sizes = [s.size for s in flat]
+            opened = self.fabric.open_authenticated(
+                ScalarShare.concatenate(flat), defer=True
+            )
+            off = 0
+            for h, k in zip(self.opens, sizes):
+                h.value = opened[off : off + k].reshape(*h.source.shape)
+                off += k
+        if verify:
+            self.fabric.verify_deferred()
+        return [eval_local(o.node) for o in outputs]
+
+
+def _numel(n: _Node) -> int:
+    size = 1
+    for d in n.shape:
+        size *= int(d)
+    return size

@@ -58,6 +58,13 @@ class PreprocessingPhase:
         """
         raise NotImplementedError
 
+    def next_poly_triplet(self, da: int, db: int):
+        """Polynomial Beaver triple: coefficient ScalarShares of random
+        polys ([P] deg da, [Q] deg db, [P*Q]).  Powers the share x share
+        polynomial product for fields without radix-2 NTT (see
+        `algebra/poly.py`)."""
+        raise NotImplementedError
+
 
 class PartyIDBeaverSource(PreprocessingPhase):
     """Deterministic mock preprocessing (`offline_prep.rs:102-170`)."""
@@ -132,6 +139,25 @@ class PartyIDBeaverSource(PreprocessingPhase):
             mat((m, k), 1, 2),
             mat((k, n), 3 if pid == 0 else 0, 3),
             mat((m, n), c_share, 6 * k),
+        )
+
+    def next_poly_triplet(self, da: int, db: int):
+        pid = self.party_id
+        p_vals = [2] * (da + 1)
+        q_vals = [3] * (db + 1)
+        c_vals = [
+            6 * (min(k, da) - max(0, k - db) + 1) for k in range(da + db + 1)
+        ]
+
+        def share_of(vals, share_vals):
+            return ScalarShare(
+                Scalar.from_ints(share_vals), Scalar.from_ints([pid * v for v in vals])
+            )
+
+        return (
+            share_of(p_vals, [1] * (da + 1)),
+            share_of(q_vals, [3 if pid == 0 else 0] * (db + 1)),
+            share_of(c_vals, c_vals if pid == 0 else [0] * len(c_vals)),
         )
 
 
@@ -220,3 +246,16 @@ class TrustedDealerSource(PreprocessingPhase):
             return mine.reshape(*v.shape)
 
         return deal_mat(p), deal_mat(q), deal_mat(c)
+
+    def next_poly_triplet(self, da: int, db: int):
+        from ..algebra.poly import _conv_coeffs
+        from ..algebra.scalar import Scalar as _S
+
+        p = self._rand_scalars(da + 1)
+        q = self._rand_scalars(db + 1)
+        c = _S(_conv_coeffs(p.limbs, q.limbs))
+        return (
+            self._mine(self._deal(p)),
+            self._mine(self._deal(q)),
+            self._mine(self._deal(c)),
+        )

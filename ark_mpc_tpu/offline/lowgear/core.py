@@ -1,0 +1,127 @@
+"""LowGear offline-phase orchestrator.
+
+Analog of `offline-phase/src/lowgear/mod.rs:38-271` (component #23): holds
+the per-party state, sequences `run_offline_phase` (`lowgear/mod.rs:178-190`)
+— triples (with the pair-sacrifice malicious check), inverse tuples, shared
+bits, shared randomness, input masks — and packages a serializable
+`LowGearPrep` the online fabric consumes.
+
+Triple *generation* in the reference is BGV-homomorphic (Fig. 7 of LowGear,
+`lowgear/triplets.rs:30-234`): sample a, b, b'; homomorphic products
+c = a*b, c' = a*b'; authenticate; sacrifice.  The TPU BGV pipeline
+(`ark_mpc_tpu.offline.bgv`) is under construction; until it produces
+ciphertext products, raw candidate triples come from an honest-dealer
+source, and everything DOWNSTREAM of generation — authentication layout,
+the pair sacrifice, MAC checks, inverse tuples, bit generation — runs as the
+real two-party protocol over the transport, so the BGV swap-in is localized
+to `_raw_triple_pairs`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ...algebra.scalar import Scalar
+from ...algebra.share import ScalarShare
+from ...fabric.context import MpcFabric
+from ...fabric.transport import Transport
+from ..base import TrustedDealerSource
+from ..errors import SacrificeError
+from ..structs import LowGearPrep, OfflineSizingParams
+from . import protocols
+
+
+class LowGear:
+    """Per-party offline-phase state machine."""
+
+    def __init__(self, party_id: int, transport: Transport,
+                 rng: np.random.Generator | None = None,
+                 dealer_seed: int = 0xA5A5):
+        self.party_id = party_id
+        self.transport = transport
+        # Raw-material source standing in for BGV generation (see module
+        # docstring); both parties construct it with the same seed, mirroring
+        # `mock_lowgear_with_keys` (`offline-phase/src/lib.rs:125-232`).
+        self._dealer = TrustedDealerSource(party_id, seed=dealer_seed)
+        self.mac_key_share = self._dealer.get_mac_key_share()
+        self.prep = LowGearPrep(mac_key_share=self.mac_key_share)
+        # The generation fabric consumes raw dealer material for its Beaver
+        # rounds; the *output* stores live in self.prep.
+        self.fabric = MpcFabric(party_id, transport, self._dealer, rng=rng)
+
+    # -- generation steps (`lowgear/mod.rs:178-190` sequencing) ------------
+
+    def generate_triples(self, n: int) -> None:
+        """Candidate triple pairs + pair sacrifice
+        (`lowgear/triplets.rs:118-147`): with (a,b,c) and (a,b',c') sharing
+        `a`, draw a public coin r, open rho = r*b - b', then check
+        r*c - c' - rho*a opens to zero."""
+        a, b, c, b2, c2 = self._raw_triple_pairs(n)
+
+        r = protocols.public_coin_scalars(self.fabric, n)
+        rho_share = b.mul_public(r) - b2
+        rho = protocols.open_and_check_macs(self.fabric, rho_share)
+        tau_share = c.mul_public(r) - c2 - a.mul_public(rho)
+        tau = protocols.open_and_check_macs(self.fabric, tau_share)
+        if not bool(np.asarray(tau.is_zero()).all()):
+            raise SacrificeError("triple sacrifice check failed")
+        self.prep.triples.add(a, b, c)
+
+    def generate_inverse_tuples(self, n: int) -> None:
+        a, a_inv = protocols.generate_inverse_tuples(self.fabric, n)
+        self.prep.inverse_pairs.add(a, a_inv)
+
+    def generate_shared_bits(self, n: int) -> None:
+        self.prep.bits.add(protocols.generate_shared_bits(self.fabric, n))
+
+    def generate_shared_randomness(self, n: int) -> None:
+        self.prep.randomness.add(
+            protocols.generate_shared_randomness(self.fabric, n)
+        )
+
+    def generate_input_masks(self, n: int) -> None:
+        """Input masks (`lowgear/input_masks.rs:15-58`). The cross-party
+        homomorphic-MAC share is BGV work; dealer-backed meanwhile with the
+        same store layout."""
+        # Both parties must consume the dealer streams in the SAME order:
+        # stream 1 = party 0's local masks, stream 2 = party 1's. (The local/
+        # counterparty dealer methods draw identically; they differ only in
+        # returning the cleartext mask to its owner.)
+        d = self._dealer
+        if self.party_id == 0:
+            clear, share = d.next_local_input_mask_batch(n)
+            cp = d.next_counterparty_input_mask_batch(n)
+        else:
+            cp = d.next_counterparty_input_mask_batch(n)
+            clear, share = d.next_local_input_mask_batch(n)
+        self.prep.my_masks_clear.append(clear)
+        self.prep.my_mask_shares.add(share)
+        self.prep.counterparty_mask_shares.add(cp)
+
+    def run_offline_phase(self, sizing: OfflineSizingParams) -> None:
+        self.generate_triples(sizing.num_triples)
+        self.generate_inverse_tuples(sizing.num_inverse_pairs)
+        self.generate_shared_bits(sizing.num_bits)
+        self.generate_shared_randomness(sizing.num_randomness)
+        self.generate_input_masks(sizing.num_input_masks)
+
+    def get_offline_result(self) -> LowGearPrep:
+        return self.prep
+
+    # -- raw material (BGV swap-in point) ----------------------------------
+
+    def _raw_triple_pairs(self, n: int):
+        """-> ([a], [b], [c=ab], [b'], [c'=ab']) candidate authenticated
+        triple pairs.  BGV path: encrypt(a) exchange with ZKPoK, homomorphic
+        products, drowning rerandomize, authenticate (`triplets.rs:30-114`).
+        Dealer path below keeps identical shapes/semantics."""
+        d = self._dealer
+        a_v = Scalar.random(n, d.rng)
+        b_v = Scalar.random(n, d.rng)
+        b2_v = Scalar.random(n, d.rng)
+        a = d._mine(d._deal(a_v))
+        b = d._mine(d._deal(b_v))
+        c = d._mine(d._deal(a_v * b_v))
+        b2 = d._mine(d._deal(b2_v))
+        c2 = d._mine(d._deal(a_v * b2_v))
+        return a, b, c, b2, c2

@@ -32,8 +32,12 @@ def log(*a):
 
 
 def main():
-    n = int(os.environ.get("BENCH_N", 1 << 20))
-    rounds = int(os.environ.get("BENCH_ROUNDS", 16))
+    # 2^17 x 128 rounds = 2^24 total. Batches beyond ~2^18 OOM the 16 GB
+    # HBM today because the unrolled limb convolution materializes
+    # (16,16,n) uint32 temps (~1 GB each at 2^20) across the fused Beaver
+    # graph; the planned Pallas tiling removes this ceiling.
+    n = int(os.environ.get("BENCH_N", 1 << 17))
+    rounds = int(os.environ.get("BENCH_ROUNDS", 128))
 
     from ark_mpc_tpu.algebra.scalar import Scalar
     from ark_mpc_tpu.fabric import commitment
