@@ -72,13 +72,21 @@ class FieldSpec:
             raise ValueError("modulus too large for 16x16-bit limbs")
         self.modulus = modulus
         self.name = name
+        # Pseudo-Mersenne fast path: when 2^256 = c (mod m) for tiny c
+        # (Ed25519's p = 2^255 - 19 gives c = 38), multiplication reduces by
+        # folding high limbs x c instead of a 16-iteration Montgomery REDC,
+        # and values are stored CANONICALLY (to/from_mont are identity).
+        c = (1 << (NLIMBS * LIMB_BITS)) % modulus
+        self.pm_c = c if modulus.bit_length() >= 250 and c < (1 << 10) else None
         self.r = (1 << (NLIMBS * LIMB_BITS)) % modulus  # R mod m
         self.r2 = (self.r * self.r) % modulus
         # n0 = -m^{-1} mod 2^16 (Montgomery magic constant)
         self.n0 = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
         self.mod_limbs = int_to_limbs(modulus)
         self.r2_limbs = int_to_limbs(self.r2)
-        self.one_mont = int_to_limbs(self.r)  # 1 in Montgomery form
+        # internal-form 1: Montgomery R for generic fields, literal 1 for
+        # pseudo-Mersenne (canonical) fields
+        self.one_mont = int_to_limbs(1 if self.pm_c else self.r)
         self.zero = np.zeros(NLIMBS, dtype=np.uint32)
         # Exponent bits of m-2 (for Fermat inversion), LSB first.
         e = modulus - 2
@@ -302,9 +310,46 @@ def _redc_scan(spec: FieldSpec, cols, iters: int = NLIMBS):
     return jnp.where((borrow == 0)[None], d, res)
 
 
+def _pm_fold(spec: FieldSpec, cols):
+    """Pseudo-Mersenne reduction of 16-bit columns: repeatedly fold columns
+    >= 16 down by x c (2^256 = c mod m), carry-propagate, conditional
+    subtracts.  Preconditions: columns < 2^22 (conv output).  Exact."""
+    c = U32(spec.pm_c)
+    cols = list(cols)
+    # fold high columns (17 of them) onto low: results < 2^22 + 2^22*c < 2^32
+    low = list(cols[:NLIMBS])
+    extra = jnp.zeros_like(low[0])
+    for k in range(NLIMBS, len(cols)):
+        if k - NLIMBS < NLIMBS:
+            low[k - NLIMBS] = low[k - NLIMBS] + cols[k] * c
+        else:
+            extra = extra + cols[k] * c  # column 32 -> position 16
+    res, carry = _carry_chain_add(low)
+    # leftover weight 2^256: the top carry plus any column-32 fold
+    top = carry + extra
+    res[0] = res[0] + top * c
+    res, carry2 = _carry_chain_add(res)
+    # a second-order carry-out (value in [2^256, 2^256 + 2^29)) folds once
+    # more as carry2 * c; the final chain then clears completely
+    res[0] = res[0] + carry2 * c
+    res, _ = _carry_chain_add(res)
+    m = [U32(v) for v in spec.mod_limbs]
+    for _ in range(2):  # value < 2^256 < 2m + c: at most two subtractions
+        d, borrow = _sub_with_borrow(res, m)
+        use_d = (borrow == 0)
+        res = [jnp.where(use_d, di, si) for di, si in zip(d, res)]
+    return _stack(res)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, x, y):
-    """Montgomery product: x * y * R^{-1} mod m."""
+    """Field product in internal form: Montgomery (x*y*R^{-1}) for generic
+    moduli, plain canonical product for pseudo-Mersenne moduli."""
+    if spec.pm_c:
+        conv = _conv_scan(x, y) if _scan_mode() else _conv_columns(x, y)
+        rows = ([conv[i] for i in range(conv.shape[0])]
+                if hasattr(conv, "shape") else conv)
+        return _pm_fold(spec, rows)
     if _scan_mode():
         return _redc_scan(spec, _conv_scan(x, y))
     return _redc(spec, _conv_columns(x, y))
@@ -312,12 +357,18 @@ def mont_mul(spec: FieldSpec, x, y):
 
 @functools.partial(jax.jit, static_argnums=0)
 def to_mont(spec: FieldSpec, x):
+    """Canonical -> internal form (identity for pseudo-Mersenne fields)."""
+    if spec.pm_c:
+        return x
     r2 = jnp.asarray(spec.r2_limbs, U32).reshape((NLIMBS,) + (1,) * (x.ndim - 1))
     return mont_mul(spec, x, jnp.broadcast_to(r2, x.shape))
 
 
 @functools.partial(jax.jit, static_argnums=0)
 def from_mont(spec: FieldSpec, x):
+    """Internal -> canonical form (identity for pseudo-Mersenne fields)."""
+    if spec.pm_c:
+        return x
     if _scan_mode():
         return _redc_scan(spec, x)
     return _redc(spec, _rows(x))
@@ -332,6 +383,8 @@ def reduce_wide(spec: FieldSpec, wide):
     negligible bias (`curve/curve.rs:143-167` from_uniform_bytes analog).
     Returns the CANONICAL value X mod m (convert with `to_mont` if needed).
     """
+    if spec.pm_c:
+        return _pm_fold(spec, [wide[i] for i in range(wide.shape[0])])
     if _scan_mode():
         y = _redc_scan(spec, wide)
     else:

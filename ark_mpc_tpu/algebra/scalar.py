@@ -160,6 +160,33 @@ class FieldArray:
     def square(self):
         return self * self
 
+    def sqrt(self):
+        """Square roots (host-side Tonelli-Shanks; `scalar.rs` sqrt parity).
+
+        Returns (roots, is_square): the canonical (smaller) root where one
+        exists, 0 elsewhere, plus a numpy bool mask of which elements are
+        quadratic residues.
+        """
+        p = self.spec.modulus
+        vals = self.to_ints()
+        roots, mask = [], []
+        for v in vals:
+            if v == 0:
+                roots.append(0)
+                mask.append(True)
+                continue
+            if pow(v, (p - 1) // 2, p) != 1:
+                roots.append(0)
+                mask.append(False)
+                continue
+            r = _tonelli_shanks(v, p)
+            roots.append(min(r, p - r))
+            mask.append(True)
+        out = type(self).from_ints(roots).reshape(*self.shape)
+        mask_arr = (np.array(mask).reshape(self.shape) if self.shape
+                    else np.bool_(mask[0]))
+        return out, mask_arr
+
     def matmul(self, other: "FieldArray") -> "FieldArray":
         """Field matrix product (m,k) @ (k,n) on the MXU (ops/matmul.py)."""
         other = self._coerce(other)
@@ -230,6 +257,32 @@ class FieldArray:
         if self.size <= 4:
             return f"{type(self).__name__}({self.to_ints()})"
         return f"{type(self).__name__}(shape={self.shape})"
+
+
+def _tonelli_shanks(v: int, p: int) -> int:
+    """Square root of a known QR mod odd prime p."""
+    q, s = p - 1, 0
+    while q % 2 == 0:
+        q //= 2
+        s += 1
+    z = 2
+    while pow(z, (p - 1) // 2, p) != p - 1:
+        z += 1
+    c = pow(z, q, p)
+    t = pow(v, q, p)
+    r = pow(v, (q + 1) // 2, p)
+    m = s
+    while t != 1:
+        i, tt = 0, t
+        while tt != 1:
+            tt = tt * tt % p
+            i += 1
+        b = pow(c, 1 << (m - i - 1), p)
+        r = r * b % p
+        c = b * b % p
+        t = t * c % p
+        m = i
+    return r
 
 
 def _broadcast_limbs(a, b):

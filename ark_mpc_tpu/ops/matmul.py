@@ -62,6 +62,7 @@ def mont_matmul(spec: FieldSpec, a, b):
     Exact for k <= 2^19 (chunked internally at K_CHUNK for the uint32 column
     bound).
     """
+    assert spec.pm_c is None, "mont_matmul is Montgomery-form only"
     m, k = a.shape[1], a.shape[2]
     n = b.shape[2]
 
