@@ -341,15 +341,49 @@ def _pm_fold(spec: FieldSpec, cols):
     return _stack(res)
 
 
+def _pm_fold_scan(spec: FieldSpec, cols_arr):
+    """Scan/vectorized form of `_pm_fold` (compact HLO for CPU compiles):
+    same math, carry chains as lax.scan."""
+    c = U32(spec.pm_c)
+    batch = cols_arr.shape[1:]
+    zeros = jnp.zeros(batch, U32)
+    low = cols_arr[:NLIMBS] + cols_arr[NLIMBS : 2 * NLIMBS] * c
+    extra = cols_arr[2 * NLIMBS] * c if cols_arr.shape[0] > 2 * NLIMBS else zeros
+
+    def cb(carry, col):
+        v = col + carry
+        return v >> LIMB_BITS, v & LIMB_MASK
+
+    carry, res = jax.lax.scan(cb, zeros, low)
+    res = res.at[0].add((carry + extra) * c)
+    carry2, res = jax.lax.scan(cb, zeros, res)
+    res = res.at[0].add(carry2 * c)
+    _, res = jax.lax.scan(cb, zeros, res)
+
+    mvec = jnp.broadcast_to(
+        jnp.asarray(spec.mod_limbs, U32).reshape((NLIMBS,) + (1,) * len(batch)),
+        (NLIMBS,) + tuple(batch),
+    )
+
+    def sub_body(b, args):
+        xi, mi = args
+        v = xi + U32(LIMB_MASK + 1) - mi - b
+        return U32(1) - (v >> LIMB_BITS), v & LIMB_MASK
+
+    for _ in range(2):
+        borrow, d = jax.lax.scan(sub_body, zeros, (res, mvec))
+        res = jnp.where((borrow == 0)[None], d, res)
+    return res
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def mont_mul(spec: FieldSpec, x, y):
     """Field product in internal form: Montgomery (x*y*R^{-1}) for generic
     moduli, plain canonical product for pseudo-Mersenne moduli."""
     if spec.pm_c:
-        conv = _conv_scan(x, y) if _scan_mode() else _conv_columns(x, y)
-        rows = ([conv[i] for i in range(conv.shape[0])]
-                if hasattr(conv, "shape") else conv)
-        return _pm_fold(spec, rows)
+        if _scan_mode():
+            return _pm_fold_scan(spec, _conv_scan(x, y))
+        return _pm_fold(spec, [r for r in _conv_columns(x, y)])
     if _scan_mode():
         return _redc_scan(spec, _conv_scan(x, y))
     return _redc(spec, _conv_columns(x, y))
@@ -384,6 +418,10 @@ def reduce_wide(spec: FieldSpec, wide):
     Returns the CANONICAL value X mod m (convert with `to_mont` if needed).
     """
     if spec.pm_c:
+        if _scan_mode():
+            pad = jnp.zeros((2 * NLIMBS + 1 - wide.shape[0],) + wide.shape[1:],
+                            U32)
+            return _pm_fold_scan(spec, jnp.concatenate([wide, pad]))
         return _pm_fold(spec, [wide[i] for i in range(wide.shape[0])])
     if _scan_mode():
         y = _redc_scan(spec, wide)

@@ -253,6 +253,24 @@ class FieldArray:
         v = int.from_bytes(data, "big")
         return cls.from_ints(v % cls.spec.modulus)
 
+    def to_bytes_le(self) -> bytes:
+        """Canonical little-endian 32-byte encoding per element
+        (`Scalar::to_bytes` / dalek convention)."""
+        canon = np.asarray(jax.device_get(self.canonical_limbs())).reshape(NLIMBS, -1)
+        return canon.astype("<u2").T.tobytes()
+
+    @classmethod
+    def from_bytes_le(cls, data: bytes):
+        """Inverse of `to_bytes_le` (batch: concatenated 32-byte chunks);
+        values must be canonical (< modulus)."""
+        vals = []
+        for off in range(0, len(data), 32):
+            v = int.from_bytes(data[off : off + 32], "little")
+            if v >= cls.spec.modulus:
+                raise ValueError("non-canonical encoding")
+            vals.append(v)
+        return cls.from_ints(vals)
+
     def __repr__(self):
         if self.size <= 4:
             return f"{type(self).__name__}({self.to_ints()})"

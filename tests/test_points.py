@@ -25,12 +25,12 @@ def affine(pt):
 
 
 def test_share_open_points():
-    pts, _ = rand_points(3)
+    pts, _ = rand_points(2)
     want = affine(pts)
 
     def prog(fabric):
         sp = fabric.share_points(
-            pts if fabric.party_id == 0 else None, sender=0, n=3
+            pts if fabric.party_id == 0 else None, sender=0, n=2
         )
         return affine(fabric.open_authenticated_points(sp))
 
@@ -70,7 +70,7 @@ def test_beaver_scalar_point_mul():
 
 
 def test_authenticated_msm():
-    n = 4
+    n = 2
     pts, _ = rand_points(n)
     ks = [rng.randrange(L) for _ in range(n)]
     want = affine(CurvePoint.msm(Scalar.from_ints(ks), pts).reshape(1))
@@ -88,12 +88,12 @@ def test_authenticated_msm():
 
 
 def test_bad_point_mac_rejected():
-    pts, _ = rand_points(1)
+    pts, _ = rand_points(2)
 
     def prog(fabric):
-        sp = fabric.share_points(pts if fabric.party_id == 0 else None, sender=0, n=1)
+        sp = fabric.share_points(pts if fabric.party_id == 0 else None, sender=0, n=2)
         if fabric.party_id == 1:
-            sp = PointShare(sp.share, sp.mac + CurvePoint.generator((1,)))
+            sp = PointShare(sp.share, sp.mac + CurvePoint.generator((2,)))
         return fabric.open_authenticated_points(sp)
 
     with pytest.raises(AuthenticationError):
