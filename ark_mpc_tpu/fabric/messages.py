@@ -24,6 +24,7 @@ KIND_BYTES = 0
 KIND_LIMB16 = 1
 KIND_U32 = 2
 KIND_U8 = 3
+KIND_I64 = 4
 
 
 def encode_arrays(items) -> bytes:
@@ -41,6 +42,8 @@ def encode_arrays(items) -> bytes:
             kind, payload = KIND_U32, arr.astype("<u4").tobytes()
         elif arr.dtype == np.uint8:
             kind, payload = KIND_U8, arr.tobytes()
+        elif arr.dtype == np.int64:
+            kind, payload = KIND_I64, arr.astype("<i8").tobytes()
         else:
             raise TypeError(f"unsupported dtype {arr.dtype}")
         out.append(struct.pack("<BB", kind, arr.ndim))
@@ -73,6 +76,9 @@ def decode_arrays(data: bytes):
         elif kind == KIND_U8:
             arr = np.frombuffer(data, np.uint8, count, off).copy()
             off += count
+        elif kind == KIND_I64:
+            arr = np.frombuffer(data, "<i8", count, off).astype(np.int64)
+            off += 8 * count
         else:
             raise ValueError(f"bad kind {kind}")
         items.append(arr.reshape(shape))

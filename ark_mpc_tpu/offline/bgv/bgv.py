@@ -85,23 +85,43 @@ def decode_slots(params: BgvParams, coeffs) -> jnp.ndarray:
 # -- core operations --------------------------------------------------------
 
 
-def encrypt(params: BgvParams, pk_a, pk_b, pt_coeffs, key) -> Ciphertext:
+def encrypt_with_randomness(params: BgvParams, pk_a, pk_b, m_rns,
+                            u_rns, e0_rns, e1_rns) -> Ciphertext:
+    """Deterministic encryption from explicit randomness (all operands
+    already lifted to RNS).  The ZKPoK verifier re-runs this equation."""
+    c0 = rns.rns_add(
+        params,
+        rns.rns_add(params, rns.rns_mul(params, pk_b, u_rns),
+                    rns.rns_scalar_mul(params, e0_rns, params.t)),
+        m_rns,
+    )
+    c1 = rns.rns_add(params, rns.rns_mul(params, pk_a, u_rns),
+                     rns.rns_scalar_mul(params, e1_rns, params.t))
+    return Ciphertext(c0, c1)
+
+
+def encrypt(params: BgvParams, pk_a, pk_b, pt_coeffs, key,
+            return_randomness: bool = False):
     """Encrypt plaintext ring coefficients (..., N) uint32 < t."""
     ku, k0, k1 = jax.random.split(key, 3)
     batch = jnp.asarray(pt_coeffs).shape[:-1]
-    u = rns.sample_ternary(params, ku, batch)
-    e0 = rns.sample_cbd(params, k0, batch)
-    e1 = rns.sample_cbd(params, k1, batch)
+    # raw signed randomness (kept for proofs), lifted to RNS for encryption
+    u_raw = jax.random.randint(ku, batch + (params.n,), -1, 2, jnp.int32)
+    k = params.cbd_k
+    bits0 = jax.random.bernoulli(k0, 0.5, (2 * k,) + batch + (params.n,))
+    bits1 = jax.random.bernoulli(k1, 0.5, (2 * k,) + batch + (params.n,))
+    e0_raw = (bits0[:k].sum(0) - bits0[k:].sum(0)).astype(jnp.int32)
+    e1_raw = (bits1[:k].sum(0) - bits1[k:].sum(0)).astype(jnp.int32)
     m = rns.from_plaintext(params, pt_coeffs)
-    c0 = rns.rns_add(
-        params,
-        rns.rns_add(params, rns.rns_mul(params, pk_b, u),
-                    rns.rns_scalar_mul(params, e0, params.t)),
-        m,
+    ct = encrypt_with_randomness(
+        params, pk_a, pk_b, m,
+        rns.from_signed_coeffs(params, u_raw),
+        rns.from_signed_coeffs(params, e0_raw),
+        rns.from_signed_coeffs(params, e1_raw),
     )
-    c1 = rns.rns_add(params, rns.rns_mul(params, pk_a, u),
-                     rns.rns_scalar_mul(params, e1, params.t))
-    return Ciphertext(c0, c1)
+    if return_randomness:
+        return ct, (u_raw, e0_raw, e1_raw)
+    return ct
 
 
 def decrypt(params: BgvParams, sk, ct: Ciphertext) -> np.ndarray:

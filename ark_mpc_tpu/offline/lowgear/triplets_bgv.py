@@ -132,11 +132,31 @@ def generate_triple_pairs(transport: Transport, st: SetupState,
     a_i = _rand_slots(params, keys[0])
     b_i = _rand_slots(params, keys[1])
 
-    # round 1: exchange enc(a_i)  (ZKPoK gate pending)
-    enc_a = encrypt_slots(params, st.keypair.pk_a, st.keypair.pk_b,
-                          a_i, keys[2])
-    oa0, oa1 = _exchange(transport, enc_a.c0, enc_a.c1)
-    enc_other_a = Ciphertext(oa0, oa1)
+    # round 1: exchange enc(a_i) gated on a ZK proof of plaintext knowledge
+    # (`triplets.rs:69-81` exchange_a_values with encrypt_and_prove /
+    # verify_proof)
+    from ...fabric import messages as _messages
+    from ..bgv import encode_slots as _enc_slots
+    from ..bgv.zkpok import (
+        encrypt_and_prove_batch,
+        proof_from_arrays,
+        proof_to_arrays,
+        verify_proof,
+    )
+    from ..errors import KeyExchangeError
+
+    zk_v = 32
+    coeffs = np.asarray(jax.device_get(_enc_slots(params, a_i)),
+                        dtype=np.uint32)[None]
+    proof = encrypt_and_prove_batch(params, st.keypair.pk_a,
+                                    st.keypair.pk_b, coeffs, keys[2],
+                                    v=zk_v)
+    frame = _messages.encode_arrays(proof_to_arrays(proof))
+    peer_items = _messages.decode_arrays(transport.exchange(frame))
+    peer_proof = proof_from_arrays(peer_items, zk_v, params.n)
+    if not verify_proof(params, st.other_pk_a, st.other_pk_b, peer_proof):
+        raise KeyExchangeError("peer's ciphertext proof of knowledge failed")
+    enc_other_a = Ciphertext(peer_proof.cts.c0[0], peer_proof.cts.c1[0])
 
     def product_with(b_vec, k_sp, k_auth_b, k_auth_c):
         mask, dec = share_product(transport, st, enc_other_a, b_vec, k_sp)
