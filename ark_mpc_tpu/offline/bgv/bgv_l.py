@@ -1,0 +1,167 @@
+"""BGV with the Curve25519 group order as plaintext modulus.
+
+The instantiation LowGear actually needs: plaintext slots are elements of
+the MPC share field F_l, so homomorphic slot products produce the
+cross-terms of real SPDZ triples.  Built on `cyclotomic.CyclotomicRing`
+(general-m ring, DFT-by-matmul transforms, limb-engine plaintext lifts).
+
+Noise budget (coefficient magnitudes): fresh phase ~ t * E_fresh with
+E_fresh ~ cbd_k * phi; after ct x pt: * (t/2) * phi; drowning multiplies by
+2^sec.  With t = l ~ 2^253, phi = 40, sec = 40 the phase stays under
+~2^580; the default RNS basis (21 x 30-bit primes, q ~ 2^630) decrypts
+correctly.  (The big-m production sets re-derive these bounds —
+docs/bgv_design.md.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...algebra import limbs as lb
+from ...algebra.fields import SCALAR_FIELD
+from ...algebra.scalar import Scalar
+from ...ops.modular32 import mont_mul32
+from .cyclotomic import CyclotomicRing
+
+U32 = jnp.uint32
+L_MOD = SCALAR_FIELD.modulus
+
+
+@dataclass
+class CiphertextL:
+    c0: jnp.ndarray  # (..., L, phi)
+    c1: jnp.ndarray
+
+
+@dataclass
+class KeypairL:
+    ring: CyclotomicRing
+    sk: jnp.ndarray
+    pk_a: jnp.ndarray
+    pk_b: jnp.ndarray
+
+
+def default_ring(m: int = 132, n_q_primes: int = 21) -> CyclotomicRing:
+    return CyclotomicRing(m, n_q_primes=n_q_primes)
+
+
+# -- sampling ---------------------------------------------------------------
+
+
+def _sample_ternary(ring, key, batch=()):
+    v = jax.random.randint(key, batch + (ring.phi,), -1, 2, jnp.int32)
+    return ring.lift_signed(v), v
+
+
+def _sample_cbd(ring, key, batch=()):
+    k = ring.cbd_k
+    a = jax.random.bernoulli(key, 0.5, (2 * k,) + batch + (ring.phi,))
+    v = (a[:k].sum(0) - a[k:].sum(0)).astype(jnp.int32)
+    return ring.lift_signed(v), v
+
+
+def _sample_wide_uniform(ring, key, bound_bits: int, batch=()):
+    """Uniform signed noise with |e| < 2^bound_bits, composed from 24-bit
+    words lifted through per-prime powers of 2^24 (drowning noise)."""
+    words = (bound_bits + 23) // 24
+    acc = None
+    for w in range(words):
+        key, sub = jax.random.split(key)
+        bits = min(24, bound_bits - 24 * w)
+        v = jax.random.randint(sub, batch + (ring.phi,),
+                               -(1 << bits), (1 << bits) + 1, jnp.int32)
+        part = ring.lift_signed(v)
+        if w:
+            out = []
+            for i, spec in enumerate(ring.q_specs):
+                c = (pow(2, 24 * w, spec.q) * spec.r) % spec.q
+                out.append(mont_mul32(spec, part[..., i, :],
+                                      jnp.full_like(part[..., i, :], U32(c))))
+            part = jnp.stack(out, axis=-2)
+        acc = part if acc is None else ring.add(acc, part)
+    return acc
+
+
+# -- scheme -----------------------------------------------------------------
+
+
+def keygen_l(ring: CyclotomicRing, key) -> KeypairL:
+    ka, ks, ke = jax.random.split(key, 3)
+    s, _ = _sample_ternary(ring, ks)
+    e, _ = _sample_cbd(ring, ke)
+    a = jnp.stack(
+        [jax.random.randint(jax.random.fold_in(ka, i), (ring.phi,),
+                            0, spec.q, jnp.int32).astype(U32)
+         for i, spec in enumerate(ring.q_specs)], axis=-2)
+    b = ring.sub(ring.scalar_mul_t(e), ring.mul(a, s))
+    return KeypairL(ring, s, a, b)
+
+
+def encode_slots_l(ring: CyclotomicRing, slots: Scalar) -> Scalar:
+    """F_l slot values (phi,) -> plaintext polynomial coefficients (phi,)."""
+    return (ring.encode_mat @ slots.reshape(ring.phi, 1)).reshape(ring.phi)
+
+
+def decode_slots_l(ring: CyclotomicRing, coeffs: Scalar) -> Scalar:
+    return (ring.decode_mat @ coeffs.reshape(ring.phi, 1)).reshape(ring.phi)
+
+
+def _pt_to_rns(ring: CyclotomicRing, coeffs: Scalar):
+    """Plaintext coefficient Scalar (phi,) -> centered RNS residues."""
+    canon = lb.from_mont(SCALAR_FIELD, coeffs.limbs)  # (16, phi)
+    return ring.lift_plaintext_limbs(canon)
+
+
+def encrypt_l(ring: CyclotomicRing, pk_a, pk_b, pt_coeffs: Scalar,
+              key) -> CiphertextL:
+    ku, k0, k1 = jax.random.split(key, 3)
+    u, _ = _sample_ternary(ring, ku)
+    e0, _ = _sample_cbd(ring, k0)
+    e1, _ = _sample_cbd(ring, k1)
+    m = _pt_to_rns(ring, pt_coeffs)
+    c0 = ring.add(ring.add(ring.mul(pk_b, u), ring.scalar_mul_t(e0)), m)
+    c1 = ring.add(ring.mul(pk_a, u), ring.scalar_mul_t(e1))
+    return CiphertextL(c0, c1)
+
+
+def decrypt_l(ring: CyclotomicRing, sk, ct: CiphertextL) -> Scalar:
+    """-> plaintext coefficients as a Scalar (phi,)."""
+    phase = ring.add(ct.c0, ring.mul(ct.c1, sk))
+    ints = ring.to_centered_ints(phase)
+    return Scalar.from_ints([v % L_MOD for v in ints])
+
+
+def add_ct_l(ring, x: CiphertextL, y: CiphertextL) -> CiphertextL:
+    return CiphertextL(ring.add(x.c0, y.c0), ring.add(x.c1, y.c1))
+
+
+def add_pt_l(ring, x: CiphertextL, pt_coeffs: Scalar) -> CiphertextL:
+    return CiphertextL(ring.add(x.c0, _pt_to_rns(ring, pt_coeffs)), x.c1)
+
+
+def mul_pt_l(ring, x: CiphertextL, pt_coeffs: Scalar) -> CiphertextL:
+    m = _pt_to_rns(ring, pt_coeffs)
+    return CiphertextL(ring.mul(x.c0, m), ring.mul(x.c1, m))
+
+
+def rerandomize_l(ring, pk_a, pk_b, ct: CiphertextL, key,
+                  drown_bits: int | None = None) -> CiphertextL:
+    """Drowning: add enc(0) whose noise statistically hides the
+    ciphertext's post-product noise (bound ~ 2^sec * E_mult)."""
+    if drown_bits is None:
+        # E_mult ~ phi * (t/2) * cbd_k * phi  -> ~ 253 + 2*log2(phi) + 4
+        import math
+
+        drown_bits = (ring.drown_sec + 253
+                      + 2 * int(math.log2(ring.phi)) + 8)
+    ku, k0, k1 = jax.random.split(key, 3)
+    u, _ = _sample_ternary(ring, ku)
+    e0 = _sample_wide_uniform(ring, k0, drown_bits)
+    e1, _ = _sample_cbd(ring, k1)
+    z0 = ring.add(ring.mul(pk_b, u), ring.scalar_mul_t(e0))
+    z1 = ring.add(ring.mul(pk_a, u), ring.scalar_mul_t(e1))
+    return CiphertextL(ring.add(ct.c0, z0), ring.add(ct.c1, z1))

@@ -1,0 +1,137 @@
+"""LowGear triple generation over the REAL share field F_l.
+
+The end-to-end pipeline the online phase consumes: BGV-over-l
+(`offline/bgv/bgv_l.py`, m=132 prototype ring) drives the Fig. 7 flow —
+key exchange with encrypted MAC shares, enc(a) exchange, homomorphic cross
+products with drowning, authentication — and the outputs are
+`ScalarShare` batches over the Curve25519 order field, directly usable by
+`MpcFabric`.  Also implements *authenticated shared randomness* the real
+way (`lowgear/shared_random.rs:56-71`): local sampling + homomorphic MAC.
+
+Batch size per call = ring.phi slots (40 in the prototype; 24480 at the
+production parameters).  ZKPoK gating of the l-field exchange reuses the
+sigma-protocol design in `offline/bgv/zkpok.py`; generalizing its bounds to
+t = l is tracked in docs/parity.md #25.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...algebra.scalar import Scalar
+from ...algebra.share import ScalarShare
+from ...fabric.transport import Transport
+from ..bgv.bgv_l import (
+    CiphertextL,
+    KeypairL,
+    add_pt_l,
+    decrypt_l,
+    decode_slots_l,
+    encode_slots_l,
+    encrypt_l,
+    keygen_l,
+    mul_pt_l,
+    rerandomize_l,
+)
+from ..bgv.cyclotomic import CyclotomicRing
+from .setup import _exchange
+
+
+@dataclass
+class SetupL:
+    """Per-party state after the l-field key exchange."""
+
+    ring: CyclotomicRing
+    keypair: KeypairL
+    other_pk_a: jnp.ndarray
+    other_pk_b: jnp.ndarray
+    other_mac_enc: CiphertextL
+    mac_key_share: Scalar  # shape ()
+
+
+def key_exchange_l(transport: Transport, ring: CyclotomicRing,
+                   rng: np.random.Generator, jkey) -> SetupL:
+    """Sample a MAC key share, generate a BGV keypair, exchange PKs and
+    encrypted MAC shares (`setup.rs:13-32` over the real field)."""
+    kg, ke = jax.random.split(jkey)
+    kp = keygen_l(ring, kg)
+    mac_key_share = Scalar.random((), rng)
+
+    other_a, other_b = _exchange(transport, kp.pk_a, kp.pk_b)
+
+    key_slots = mac_key_share.broadcast_to((ring.phi,))
+    my_mac_enc = encrypt_l(ring, kp.pk_a, kp.pk_b,
+                           encode_slots_l(ring, key_slots), ke)
+    oc0, oc1 = _exchange(transport, my_mac_enc.c0, my_mac_enc.c1)
+    return SetupL(ring, kp, other_a, other_b, CiphertextL(oc0, oc1),
+                  mac_key_share)
+
+
+def share_product_l(transport: Transport, st: SetupL,
+                    enc_other: CiphertextL, my_factor: Scalar,
+                    rng: np.random.Generator, jkey):
+    """Cross-product step over F_l (`triplets.rs:155-234`): returns
+    (my mask share, decrypted share of the peer's product)."""
+    ring = st.ring
+    mask = Scalar.random(ring.phi, rng)
+    prod = mul_pt_l(ring, enc_other, encode_slots_l(ring, my_factor))
+    masked = add_pt_l(ring, prod, encode_slots_l(ring, -mask))
+    masked = rerandomize_l(ring, st.other_pk_a, st.other_pk_b, masked, jkey)
+    their0, their1 = _exchange(transport, masked.c0, masked.c1)
+    dec = decode_slots_l(
+        ring, decrypt_l(ring, st.keypair.sk, CiphertextL(their0, their1))
+    )
+    return mask, dec
+
+
+def authenticate_vec_l(transport: Transport, st: SetupL, values: Scalar,
+                       rng: np.random.Generator, jkey) -> Scalar:
+    """Homomorphic MAC shares of an additively shared vector
+    (`triplets.rs:104-114`)."""
+    mask, dec = share_product_l(transport, st, st.other_mac_enc, values,
+                                rng, jkey)
+    return values * st.mac_key_share + mask + dec
+
+
+def generate_triples_l(transport: Transport, st: SetupL,
+                       rng: np.random.Generator, jkey):
+    """One slot-batch of authenticated triples over F_l:
+    ([a], [b], [c=a*b]) as ScalarShares of shape (phi,)."""
+    ring = st.ring
+    keys = jax.random.split(jkey, 6)
+    a_i = Scalar.random(ring.phi, rng)
+    b_i = Scalar.random(ring.phi, rng)
+
+    enc_a = encrypt_l(ring, st.keypair.pk_a, st.keypair.pk_b,
+                      encode_slots_l(ring, a_i), keys[0])
+    oa0, oa1 = _exchange(transport, enc_a.c0, enc_a.c1)
+    enc_other_a = CiphertextL(oa0, oa1)
+
+    mask, dec = share_product_l(transport, st, enc_other_a, b_i, rng,
+                                keys[1])
+    c_i = a_i * b_i + mask + dec
+
+    a_mac = authenticate_vec_l(transport, st, a_i, rng, keys[2])
+    b_mac = authenticate_vec_l(transport, st, b_i, rng, keys[3])
+    c_mac = authenticate_vec_l(transport, st, c_i, rng, keys[4])
+
+    return (
+        ScalarShare(a_i, a_mac),
+        ScalarShare(b_i, b_mac),
+        ScalarShare(c_i, c_mac),
+    )
+
+
+def generate_authenticated_randomness_l(transport: Transport, st: SetupL,
+                                        rng: np.random.Generator,
+                                        jkey) -> ScalarShare:
+    """Authenticated random shares the real way
+    (`lowgear/shared_random.rs:56-71`): sample locally, authenticate
+    homomorphically."""
+    r_i = Scalar.random(st.ring.phi, rng)
+    r_mac = authenticate_vec_l(transport, st, r_i, rng, jkey)
+    return ScalarShare(r_i, r_mac)
