@@ -36,18 +36,47 @@ class LowGear:
 
     def __init__(self, party_id: int, transport: Transport,
                  rng: np.random.Generator | None = None,
-                 dealer_seed: int = 0xA5A5):
+                 dealer_seed: int = 0xA5A5, mode: str = "dealer",
+                 ring=None, jkey=None):
+        """mode="bgv": fully dealer-free — raw triples, randomness, and
+        input masks come from the BGV-over-l pipeline (`triplets_l.py`)
+        after a real key exchange.  mode="dealer": honest-dealer raw
+        material (fast; used by tests that exercise the downstream
+        protocols in isolation)."""
         self.party_id = party_id
         self.transport = transport
-        # Raw-material source standing in for BGV generation (see module
-        # docstring); both parties construct it with the same seed, mirroring
-        # `mock_lowgear_with_keys` (`offline-phase/src/lib.rs:125-232`).
-        self._dealer = TrustedDealerSource(party_id, seed=dealer_seed)
-        self.mac_key_share = self._dealer.get_mac_key_share()
+        self.mode = mode
+        self.rng = rng or np.random.default_rng(1234 + party_id)
+        if mode == "bgv":
+            import jax
+
+            from ..bgv.bgv_l import default_ring
+            from . import triplets_l
+
+            self._tl = triplets_l
+            self.ring = ring or default_ring()
+            self._jkey = jkey if jkey is not None else jax.random.PRNGKey(
+                0xB6 + party_id)
+            self.setup = triplets_l.key_exchange_l(
+                transport, self.ring, self.rng, self._next_key())
+            self.mac_key_share = self.setup.mac_key_share
+            self._dealer = None
+        else:
+            # Both parties construct the dealer with the same seed, mirroring
+            # `mock_lowgear_with_keys` (`offline-phase/src/lib.rs:125-232`).
+            self._dealer = TrustedDealerSource(party_id, seed=dealer_seed)
+            self.mac_key_share = self._dealer.get_mac_key_share()
         self.prep = LowGearPrep(mac_key_share=self.mac_key_share)
-        # The generation fabric consumes raw dealer material for its Beaver
-        # rounds; the *output* stores live in self.prep.
-        self.fabric = MpcFabric(party_id, transport, self._dealer, rng=rng)
+        # The generation fabric's Beaver rounds consume triples out of the
+        # prep stores being built (bgv mode) or raw dealer material.
+        source = self.prep if mode == "bgv" else self._dealer
+        self.fabric = MpcFabric(party_id, transport, source, rng=self.rng)
+
+    def _next_key(self):
+        import jax
+
+        self._jkey, sub = jax.random.split(self._jkey)
+        return sub
 
     # -- generation steps (`lowgear/mod.rs:178-190` sequencing) ------------
 
@@ -57,6 +86,7 @@ class LowGear:
         `a`, draw a public coin r, open rho = r*b - b', then check
         r*c - c' - rho*a opens to zero."""
         a, b, c, b2, c2 = self._raw_triple_pairs(n)
+        n = a.size  # bgv mode rounds up to whole slot batches
 
         r = protocols.public_coin_scalars(self.fabric, n)
         rho_share = b.mul_public(r) - b2
@@ -75,14 +105,31 @@ class LowGear:
         self.prep.bits.add(protocols.generate_shared_bits(self.fabric, n))
 
     def generate_shared_randomness(self, n: int) -> None:
+        if self.mode == "bgv":
+            # the real protocol: local sampling + homomorphic MAC
+            # (`shared_random.rs:56-71`)
+            chunks = []
+            phi = self.ring.phi
+            for _ in range((n + phi - 1) // phi):
+                chunks.append(self._tl.generate_authenticated_randomness_l(
+                    self.transport, self.setup, self.rng, self._next_key()))
+            self.prep.randomness.add(ScalarShare.concatenate(chunks))
+            return
         self.prep.randomness.add(
             protocols.generate_shared_randomness(self.fabric, n)
         )
 
     def generate_input_masks(self, n: int) -> None:
-        """Input masks (`lowgear/input_masks.rs:15-58`). The cross-party
-        homomorphic-MAC share is BGV work; dealer-backed meanwhile with the
-        same store layout."""
+        """Input masks (`lowgear/input_masks.rs:15-58`)."""
+        if self.mode == "bgv":
+            clear, mine, cp = self._tl.generate_input_masks_l(
+                self.transport, self.setup, n,
+                local_first=(self.party_id == 0), rng=self.rng,
+                jkey=self._next_key())
+            self.prep.my_masks_clear.append(clear)
+            self.prep.my_mask_shares.add(mine)
+            self.prep.counterparty_mask_shares.add(cp)
+            return
         # Both parties must consume the dealer streams in the SAME order:
         # stream 1 = party 0's local masks, stream 2 = party 1's. (The local/
         # counterparty dealer methods draw identically; they differ only in
@@ -99,10 +146,21 @@ class LowGear:
         self.prep.counterparty_mask_shares.add(cp)
 
     def run_offline_phase(self, sizing: OfflineSizingParams) -> None:
-        self.generate_triples(sizing.num_triples)
+        if self.mode == "bgv":
+            # The derived protocols (inverse tuples, bits) run Beaver rounds
+            # and draw randomness through the generation fabric, which in
+            # bgv mode is backed by the prep stores themselves — so stock
+            # enough BGV-generated material FIRST.
+            extra_triples = sizing.num_inverse_pairs + sizing.num_bits
+            extra_rand = 2 * sizing.num_inverse_pairs + sizing.num_bits
+            self.generate_shared_randomness(sizing.num_randomness + extra_rand)
+            self.generate_triples(sizing.num_triples + extra_triples)
+        else:
+            self.generate_triples(sizing.num_triples)
         self.generate_inverse_tuples(sizing.num_inverse_pairs)
         self.generate_shared_bits(sizing.num_bits)
-        self.generate_shared_randomness(sizing.num_randomness)
+        if self.mode != "bgv":
+            self.generate_shared_randomness(sizing.num_randomness)
         self.generate_input_masks(sizing.num_input_masks)
 
     def get_offline_result(self) -> LowGearPrep:
@@ -112,9 +170,24 @@ class LowGear:
 
     def _raw_triple_pairs(self, n: int):
         """-> ([a], [b], [c=ab], [b'], [c'=ab']) candidate authenticated
-        triple pairs.  BGV path: encrypt(a) exchange with ZKPoK, homomorphic
-        products, drowning rerandomize, authenticate (`triplets.rs:30-114`).
-        Dealer path below keeps identical shapes/semantics."""
+        triple pairs.
+
+        bgv mode: the real pipeline — encrypt(a) exchange, homomorphic
+        products with drowning, homomorphic MACs (`triplets.rs:30-114`),
+        generated in slot-batches of ring.phi.  dealer mode keeps identical
+        shapes/semantics for downstream-protocol tests."""
+        if self.mode == "bgv":
+            phi = self.ring.phi
+            chunks: list[tuple] = []
+            for _ in range((n + phi - 1) // phi):
+                chunks.append(self._tl.generate_triple_pairs_l(
+                    self.transport, self.setup, self.rng, self._next_key()))
+            if len(chunks) == 1:
+                return chunks[0]
+            return tuple(
+                ScalarShare.concatenate([ch[i] for ch in chunks])
+                for i in range(5)
+            )
         d = self._dealer
         a_v = Scalar.random(n, d.rng)
         b_v = Scalar.random(n, d.rng)

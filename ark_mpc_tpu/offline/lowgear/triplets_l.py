@@ -126,6 +126,70 @@ def generate_triples_l(transport: Transport, st: SetupL,
     )
 
 
+def generate_triple_pairs_l(transport: Transport, st: SetupL,
+                            rng: np.random.Generator, jkey):
+    """Fig. 7 pair over F_l: (a, b, c=ab) and (a, b', c'=ab') sharing the
+    same a and the same exchanged enc(a) — the sacrifice's input."""
+    ring = st.ring
+    keys = jax.random.split(jkey, 9)
+    a_i = Scalar.random(ring.phi, rng)
+
+    enc_a = encrypt_l(ring, st.keypair.pk_a, st.keypair.pk_b,
+                      encode_slots_l(ring, a_i), keys[0])
+    oa0, oa1 = _exchange(transport, enc_a.c0, enc_a.c1)
+    enc_other_a = CiphertextL(oa0, oa1)
+
+    def product(b_vec, k_sp, k_ab, k_ac):
+        mask, dec = share_product_l(transport, st, enc_other_a, b_vec, rng,
+                                    k_sp)
+        c_vec = a_i * b_vec + mask + dec
+        b_mac = authenticate_vec_l(transport, st, b_vec, rng, k_ab)
+        c_mac = authenticate_vec_l(transport, st, c_vec, rng, k_ac)
+        return ScalarShare(b_vec, b_mac), ScalarShare(c_vec, c_mac)
+
+    b1 = Scalar.random(ring.phi, rng)
+    b2 = Scalar.random(ring.phi, rng)
+    sb1, sc1 = product(b1, keys[1], keys[2], keys[3])
+    sb2, sc2 = product(b2, keys[4], keys[5], keys[6])
+    a_mac = authenticate_vec_l(transport, st, a_i, rng, keys[7])
+    sa = ScalarShare(a_i, a_mac)
+    return sa, sb1, sc1, sb2, sc2
+
+
+def generate_input_masks_l(transport: Transport, st: SetupL, n: int,
+                           local_first: bool, rng: np.random.Generator,
+                           jkey):
+    """Input masks over F_l (`lowgear/input_masks.rs:15-58`): the OWNING
+    party samples the cleartext mask and holds it as its whole share; the
+    counterparty's share is 0; MACs come from the homomorphic authenticate
+    (which is already symmetric over asymmetric value vectors).
+
+    `local_first`: run my-masks stream before the peer's (both parties must
+    agree on the order — party 0's masks first).
+    Returns (my_clear_masks or None, my share of stream-A masks, my share
+    of stream-B masks) where stream A = party0's masks, B = party1's.
+    """
+    ring = st.ring
+    assert n <= ring.phi, "mask batch larger than slot count"
+    k1, k2 = jax.random.split(jkey)
+
+    def stream(owner_is_me: bool, k):
+        if owner_is_me:
+            clear = Scalar.random(ring.phi, rng)
+            share = clear
+        else:
+            clear = None
+            share = Scalar.zeros(ring.phi)
+        mac = authenticate_vec_l(transport, st, share, rng, k)
+        return clear, ScalarShare(share, mac)
+
+    clear_a, share_a = stream(local_first, k1)
+    clear_b, share_b = stream(not local_first, k2)
+    my_clear = clear_a if local_first else clear_b
+    return my_clear[:n], (share_a if local_first else share_b)[:n], \
+        (share_b if local_first else share_a)[:n]
+
+
 def generate_authenticated_randomness_l(transport: Transport, st: SetupL,
                                         rng: np.random.Generator,
                                         jkey) -> ScalarShare:
