@@ -116,16 +116,27 @@ def _pt_to_rns(ring: CyclotomicRing, coeffs: Scalar):
     return ring.lift_plaintext_limbs(canon)
 
 
-def encrypt_l(ring: CyclotomicRing, pk_a, pk_b, pt_coeffs: Scalar,
-              key) -> CiphertextL:
-    ku, k0, k1 = jax.random.split(key, 3)
-    u, _ = _sample_ternary(ring, ku)
-    e0, _ = _sample_cbd(ring, k0)
-    e1, _ = _sample_cbd(ring, k1)
-    m = _pt_to_rns(ring, pt_coeffs)
-    c0 = ring.add(ring.add(ring.mul(pk_b, u), ring.scalar_mul_t(e0)), m)
-    c1 = ring.add(ring.mul(pk_a, u), ring.scalar_mul_t(e1))
+def encrypt_with_randomness_l(ring, pk_a, pk_b, m_rns, u_rns, e0_rns,
+                              e1_rns) -> CiphertextL:
+    """Deterministic encryption from explicit RNS-lifted randomness (the
+    ZKPoK verifier re-runs this equation)."""
+    c0 = ring.add(ring.add(ring.mul(pk_b, u_rns), ring.scalar_mul_t(e0_rns)),
+                  m_rns)
+    c1 = ring.add(ring.mul(pk_a, u_rns), ring.scalar_mul_t(e1_rns))
     return CiphertextL(c0, c1)
+
+
+def encrypt_l(ring: CyclotomicRing, pk_a, pk_b, pt_coeffs: Scalar,
+              key, return_randomness: bool = False):
+    ku, k0, k1 = jax.random.split(key, 3)
+    u, u_raw = _sample_ternary(ring, ku)
+    e0, e0_raw = _sample_cbd(ring, k0)
+    e1, e1_raw = _sample_cbd(ring, k1)
+    m = _pt_to_rns(ring, pt_coeffs)
+    ct = encrypt_with_randomness_l(ring, pk_a, pk_b, m, u, e0, e1)
+    if return_randomness:
+        return ct, (u_raw, e0_raw, e1_raw)
+    return ct
 
 
 def decrypt_l(ring: CyclotomicRing, sk, ct: CiphertextL) -> Scalar:

@@ -280,6 +280,14 @@ class CyclotomicRing:
             out.append(jnp.where(is_high, v_neg, v_mod))
         return jnp.stack(out, axis=-2)
 
+    def lift_object(self, arr) -> jnp.ndarray:
+        """(..., phi) numpy object-int coefficients (any magnitude) ->
+        (..., L, phi) residues (ZKPoK responses)."""
+        out = []
+        for spec in self.q_specs:
+            out.append(np.asarray(np.mod(arr, spec.q), dtype=np.uint32))
+        return jnp.asarray(np.stack(out, axis=-2))
+
     # -- host-side CRT (decryption) ----------------------------------------
     def to_centered_ints(self, poly) -> list[list[int]]:
         arr = np.asarray(jax.device_get(poly))

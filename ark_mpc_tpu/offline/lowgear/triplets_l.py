@@ -97,6 +97,35 @@ def authenticate_vec_l(transport: Transport, st: SetupL, values: Scalar,
     return values * st.mac_key_share + mask + dec
 
 
+ZK_ROWS = 16  # Fiat-Shamir challenge rows (soundness ~2^-16 per exchange in
+#               tests; production uses >= 64)
+
+
+def _exchange_enc_a_proven(transport: Transport, st: SetupL, a_i: Scalar,
+                           rng: np.random.Generator, jkey) -> CiphertextL:
+    """Exchange enc(a) gated on the l-field ZK proof of plaintext knowledge
+    (`triplets.rs:69-81`)."""
+    from ...fabric import messages as _messages
+    from ..bgv.zkpok_l import (
+        encrypt_and_prove_batch_l,
+        proof_from_arrays_l,
+        proof_to_arrays_l,
+        verify_proof_l,
+    )
+    from ..errors import KeyExchangeError
+
+    ring = st.ring
+    proof = encrypt_and_prove_batch_l(
+        ring, st.keypair.pk_a, st.keypair.pk_b,
+        [encode_slots_l(ring, a_i)], jkey, v=ZK_ROWS, host_rng=rng)
+    frame = _messages.encode_arrays(proof_to_arrays_l(proof))
+    peer_items = _messages.decode_arrays(transport.exchange(frame))
+    peer = proof_from_arrays_l(peer_items, ZK_ROWS, ring.phi)
+    if not verify_proof_l(ring, st.other_pk_a, st.other_pk_b, peer):
+        raise KeyExchangeError("peer's l-field ciphertext proof failed")
+    return CiphertextL(peer.cts.c0[0], peer.cts.c1[0])
+
+
 def generate_triples_l(transport: Transport, st: SetupL,
                        rng: np.random.Generator, jkey):
     """One slot-batch of authenticated triples over F_l:
@@ -106,10 +135,7 @@ def generate_triples_l(transport: Transport, st: SetupL,
     a_i = Scalar.random(ring.phi, rng)
     b_i = Scalar.random(ring.phi, rng)
 
-    enc_a = encrypt_l(ring, st.keypair.pk_a, st.keypair.pk_b,
-                      encode_slots_l(ring, a_i), keys[0])
-    oa0, oa1 = _exchange(transport, enc_a.c0, enc_a.c1)
-    enc_other_a = CiphertextL(oa0, oa1)
+    enc_other_a = _exchange_enc_a_proven(transport, st, a_i, rng, keys[0])
 
     mask, dec = share_product_l(transport, st, enc_other_a, b_i, rng,
                                 keys[1])
@@ -134,10 +160,7 @@ def generate_triple_pairs_l(transport: Transport, st: SetupL,
     keys = jax.random.split(jkey, 9)
     a_i = Scalar.random(ring.phi, rng)
 
-    enc_a = encrypt_l(ring, st.keypair.pk_a, st.keypair.pk_b,
-                      encode_slots_l(ring, a_i), keys[0])
-    oa0, oa1 = _exchange(transport, enc_a.c0, enc_a.c1)
-    enc_other_a = CiphertextL(oa0, oa1)
+    enc_other_a = _exchange_enc_a_proven(transport, st, a_i, rng, keys[0])
 
     def product(b_vec, k_sp, k_ab, k_ac):
         mask, dec = share_product_l(transport, st, enc_other_a, b_vec, rng,
