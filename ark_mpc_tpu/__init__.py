@@ -20,6 +20,8 @@ from .fabric.errors import (
 from .fabric.simulator import execute_mock_mpc, execute_mock_mpc_dealer
 from .fabric.transport import LocalTransport, TcpTransport
 from .offline.base import PartyIDBeaverSource, PreprocessingPhase, TrustedDealerSource
+from .offline.lowgear.core import LowGear
+from .offline.structs import LowGearPrep, OfflineSizingParams
 
 __all__ = [
     "Scalar",
@@ -39,6 +41,9 @@ __all__ = [
     "PreprocessingPhase",
     "PartyIDBeaverSource",
     "TrustedDealerSource",
+    "LowGear",
+    "LowGearPrep",
+    "OfflineSizingParams",
 ]
 
 __version__ = "0.1.0"
