@@ -61,16 +61,16 @@ def mont_mul_pallas(spec: FieldSpec, x, y):
     )(x, y)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1, 11))
 def beaver_round_pallas(spec: FieldSpec, party_id: int,
                         a_sh, a_mac, b_sh, b_mac, c_sh, c_mac,
-                        d, e, key_sh):
+                        d, e, key_sh, block: int = BLOCK):
     """Fused Beaver combine for one party:
       share = d*e*(party==0) + d*b_sh + e*a_sh + c_sh
       mac   = key*d*e + d*b_mac + e*a_mac + c_mac
     One grid pass: 5 tile loads, 2 stores, ~6 tile mont_muls in VMEM."""
     n = d.shape[1]
-    assert n % BLOCK == 0
+    assert n % block == 0
 
     def kernel(a_s, a_m, b_s, b_m, c_s, c_m, d_r, e_r, k_r, o_s, o_m):
         dd, ee = d_r[...], e_r[...]
@@ -85,13 +85,11 @@ def beaver_round_pallas(spec: FieldSpec, party_id: int,
         o_s[...] = sh
         o_m[...] = mac
 
-    spec2 = pl.BlockSpec((NLIMBS, BLOCK), lambda i: (0, i),
+    spec2 = pl.BlockSpec((NLIMBS, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM)
-    key_spec = pl.BlockSpec((NLIMBS, BLOCK), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(n // BLOCK,),
+        grid=(n // block,),
         in_specs=[spec2] * 9,
         out_specs=(spec2, spec2),
         out_shape=(

@@ -37,7 +37,8 @@ def main():
     # HBM today because the unrolled limb convolution materializes
     # (16,16,n) uint32 temps across the fused Beaver graph; the planned
     # Pallas tiling removes this ceiling.
-    n = int(os.environ.get("BENCH_N", 1 << 19))
+    default_n = 1 << 20 if os.environ.get("BENCH_PALLAS", "1") == "1" else 1 << 19
+    n = int(os.environ.get("BENCH_N", default_n))
     rounds = int(os.environ.get("BENCH_ROUNDS", max(1, (1 << 24) // n)))
 
     from ark_mpc_tpu.algebra.scalar import Scalar
@@ -69,18 +70,56 @@ def main():
     log(f"offline dealer setup: {time.time()-t0:.1f}s")
 
     # --- fused two-party online round ---
-    def one_round(x0, x1, y0, y1, a0, b0, c0, a1, b1, c1,
-                  key0, key1, coeffs, acc0, acc1):
-        # mask + "exchange" (the wire is an on-chip add in this 1-chip bench)
-        d = (x0 - a0).share + (x1 - a1).share
-        e = (y0 - b0).share + (y1 - b1).share
-        z0 = beaver_mul_step(0, x0, y0, a0, b0, c0, d, e, key0)
-        z1 = beaver_mul_step(1, x1, y1, a1, b1, c1, d, e, key1)
-        # open the product + deferred MAC-check fold contribution
-        v = z0.share + z1.share
-        t0 = mac_check_fold(key0, v, z0.mac, coeffs)
-        t1 = mac_check_fold(key1, v, z1.mac, coeffs)
-        return acc0 + t0, acc1 + t1, v
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    if use_pallas:
+        # Pallas-tiled kernels keep every conv/REDC temp in VMEM, removing
+        # the HBM blowup that OOMs the XLA path beyond ~2^18.
+        from ark_mpc_tpu.algebra.share import ScalarShare
+        from ark_mpc_tpu.ops.fp_kernels import (
+            beaver_round_pallas,
+            mont_mul_pallas,
+        )
+
+        def one_round(x0, x1, y0, y1, a0, b0, c0, a1, b1, c1,
+                      key0, key1, coeffs, acc0, acc1):
+            d = (x0 - a0).share + (x1 - a1).share
+            e = (y0 - b0).share + (y1 - b1).share
+            spec_ = type(d).spec
+
+            def party(pid, x, a, b, c, key):
+                kb = jnp.broadcast_to(
+                    key.limbs.reshape(16, 1), d.limbs.shape)
+                zs, zm = beaver_round_pallas(
+                    spec_, pid, a.share.limbs, a.mac.limbs, b.share.limbs,
+                    b.mac.limbs, c.share.limbs, c.mac.limbs,
+                    d.limbs, e.limbs, kb)
+                return ScalarShare(Scalar(zs), Scalar(zm))
+
+            z0 = party(0, x0, a0, b0, c0, key0)
+            z1 = party(1, x1, a1, b1, c1, key1)
+            v = z0.share + z1.share
+
+            def fold(key, mac, acc):
+                kb = jnp.broadcast_to(key.limbs.reshape(16, 1),
+                                      v.limbs.shape)
+                t = Scalar(mont_mul_pallas(spec_, kb, v.limbs)) - mac
+                r = Scalar(mont_mul_pallas(spec_, t.limbs, coeffs.limbs))
+                return acc + r.sum()
+
+            return fold(key0, z0.mac, acc0), fold(key1, z1.mac, acc1), v
+    else:
+        def one_round(x0, x1, y0, y1, a0, b0, c0, a1, b1, c1,
+                      key0, key1, coeffs, acc0, acc1):
+            # mask + "exchange" (the wire is an on-chip add in this bench)
+            d = (x0 - a0).share + (x1 - a1).share
+            e = (y0 - b0).share + (y1 - b1).share
+            z0 = beaver_mul_step(0, x0, y0, a0, b0, c0, d, e, key0)
+            z1 = beaver_mul_step(1, x1, y1, a1, b1, c1, d, e, key1)
+            # open the product + deferred MAC-check fold contribution
+            v = z0.share + z1.share
+            t0 = mac_check_fold(key0, v, z0.mac, coeffs)
+            t1 = mac_check_fold(key1, v, z1.mac, coeffs)
+            return acc0 + t0, acc1 + t1, v
 
 
     rng0 = np.random.default_rng(7)
@@ -143,16 +182,18 @@ def main():
     from ark_mpc_tpu.algebra import limbs as _lb
     from ark_mpc_tpu.algebra.fields import SCALAR_FIELD as _sf
 
+    # cap the XLA reference at 2^18 (the unrolled conv OOMs beyond)
+    n_ref = min(n, 1 << 18)
     mm = jax.jit(lambda u, w: _lb.mont_mul(_sf, u, w))
-    r = mm(x0.share.limbs, y0.share.limbs)
+    r = mm(x0.share.limbs[:, :n_ref], y0.share.limbs[:, :n_ref])
     r.block_until_ready()
     t0 = time.time()
     for _ in range(8):
-        r = mm(r, y0.share.limbs)
+        r = mm(r, y0.share.limbs[:, :n_ref])
     r.block_until_ready()
     sol = (time.time() - t0) / 8
     log(f"kernel reference (sync mode): mont_mul dispatch {sol*1e3:.2f} ms "
-        f"for n={n} ({n/sol/1e6:.1f} M field-muls/s incl. relay RTT)")
+        f"for n={n_ref} ({n_ref/sol/1e6:.1f} M field-muls/s incl. relay RTT)")
 
     acc0, acc1 = az, bz
     t0 = time.time()

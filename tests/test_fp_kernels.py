@@ -36,3 +36,34 @@ def test_mont_mul_pallas_multi_tile():
                          mont=False)
     r_inv = pow(1 << 256, -1, L)
     assert got == [(u * v * r_inv) % L for u, v in zip(a, b)]
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU_KERNEL_TESTS") != "1",
+                    reason="Pallas interpreter is impractically slow for the "
+                           "fused Beaver kernel; validated on TPU (see "
+                           "benchmarks/ and bench.py BENCH_PALLAS path)")
+def test_beaver_round_pallas():
+    from ark_mpc_tpu.ops.fp_kernels import beaver_round_pallas
+
+    n = 64
+    vals = {k: [rng.randrange(L) for _ in range(n)]
+            for k in ("as_", "am", "bs", "bm", "cs", "cm", "d", "e", "k")}
+    args = [_pack(vals[k]) for k in ("as_", "am", "bs", "bm", "cs", "cm",
+                                     "d", "e", "k")]
+    out_s, out_m = beaver_round_pallas(spec, 0, *args, block=64)
+    r_inv = pow(1 << 256, -1, L)
+    for j in (0, 7, n - 1):
+        de = vals["d"][j] * vals["e"][j] * r_inv % L
+        want_s = (vals["d"][j] * vals["bs"][j] * r_inv
+                  + vals["e"][j] * vals["as_"][j] * r_inv
+                  + vals["cs"][j] + de) % L
+        want_m = (vals["d"][j] * vals["bm"][j] * r_inv
+                  + vals["e"][j] * vals["am"][j] * r_inv
+                  + vals["cm"][j] + vals["k"][j] * de * r_inv) % L
+        got_s = lb.unpack_ints(spec, out_s[:, j : j + 1], mont=False)[0]
+        got_m = lb.unpack_ints(spec, out_m[:, j : j + 1], mont=False)[0]
+        assert got_s == want_s and got_m == want_m, j
