@@ -33,11 +33,12 @@ def log(*a):
 
 
 def main():
-    # 2^18 x 64 rounds = 2^24 total. Batches beyond ~2^18 OOM the 16 GB
-    # HBM today because the unrolled limb convolution materializes
-    # (16,16,n) uint32 temps across the fused Beaver graph; the planned
-    # Pallas tiling removes this ceiling.
-    default_n = 1 << 20 if os.environ.get("BENCH_PALLAS", "1") == "1" else 1 << 19
+    # Pallas path (default): 2^22 x 4 rounds = 2^24 total — the tiled
+    # kernels keep conv/REDC temps in VMEM so batches scale to HBM capacity
+    # (2^23 currently trips the dev tunnel's remote-compile helper).
+    # XLA path: 2^19 (the unrolled conv materializes (16,16,n) HBM temps
+    # and OOMs beyond ~2^18).
+    default_n = 1 << 22 if os.environ.get("BENCH_PALLAS", "1") == "1" else 1 << 19
     n = int(os.environ.get("BENCH_N", default_n))
     rounds = int(os.environ.get("BENCH_ROUNDS", max(1, (1 << 24) // n)))
 
