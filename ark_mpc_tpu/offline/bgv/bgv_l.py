@@ -102,12 +102,12 @@ def keygen_l(ring: CyclotomicRing, key) -> KeypairL:
 
 
 def encode_slots_l(ring: CyclotomicRing, slots: Scalar) -> Scalar:
-    """F_l slot values (phi,) -> plaintext polynomial coefficients (phi,)."""
-    return (ring.encode_mat @ slots.reshape(ring.phi, 1)).reshape(ring.phi)
+    """F_l slot values (ring.slots,) -> plaintext coefficients (phi,)."""
+    return (ring.encode_mat @ slots.reshape(ring.slots, 1)).reshape(ring.phi)
 
 
 def decode_slots_l(ring: CyclotomicRing, coeffs: Scalar) -> Scalar:
-    return (ring.decode_mat @ coeffs.reshape(ring.phi, 1)).reshape(ring.phi)
+    return (ring.decode_mat @ coeffs.reshape(ring.phi, 1)).reshape(ring.slots)
 
 
 def _pt_to_rns(ring: CyclotomicRing, coeffs: Scalar):

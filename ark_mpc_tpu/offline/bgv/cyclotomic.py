@@ -93,10 +93,17 @@ class CyclotomicRing:
                  cbd_k: int = 10, drown_sec: int = 40):
         self.m = m
         self.phi = _phi(m)
-        assert (L_MOD - 1) % m == 0, (
-            "prototype requires ord_m(l) == 1 (m | l-1); the GF(l^2) slot "
-            "backend for d=2 indices is future work"
-        )
+        # slot structure: d = ord_m(l) determines the slot field GF(l^d);
+        # F_l values embed in the subfield so component-wise products stay
+        # in F_l.  d in {1, 2} implemented (the production m = 118965 has
+        # d = 2).
+        r = L_MOD % m
+        if r == 1:
+            self.d = 1
+        elif (r * r) % m == 1:
+            self.d = 2
+        else:
+            raise ValueError(f"ord_{m}(l) > 2 unsupported (got neither 1 nor 2)")
         self.cbd_k = cbd_k
         self.drown_sec = drown_sec
         self.t = L_MOD
@@ -164,18 +171,59 @@ class CyclotomicRing:
         # centered-lift threshold handled via (v - l) residues
         self.neg_t_mod_q = [(-self.t) % spec.q for spec in self.q_specs]
 
-        # --- slot maps over F_l (ord = 1: slots = primitive-root evals) ---
-        w_l = _find_root_of_order(L_MOD, m)
-        prim = [j for j in range(m) if math.gcd(j, m) == 1]
-        assert len(prim) == self.phi
-        self.prim_idx = prim
-        eval_rows = [[pow(w_l, j * k, L_MOD) for k in range(self.phi)]
-                     for j in prim]
-        inv_rows = _invert_matrix_mod(eval_rows, L_MOD)
+        # --- slot maps over F_l --------------------------------------------
+        # d=1: slots = evaluations at the phi primitive m-th roots in F_l.
+        # d=2: roots live in GF(l^2); conjugate pairs {z^j, z^(j*l)} form one
+        #      slot each; an F_l-coefficient polynomial automatically takes
+        #      Frobenius-consistent values, so prescribing P(z^j) = x_j in
+        #      F_l for one orbit representative per pair is phi/2 GF(l^2)
+        #      constraints = phi F_l constraints -> unique P of deg < phi.
         from ...algebra.scalar import Scalar
 
-        self.encode_mat = Scalar.from_ints(np.array(inv_rows, dtype=object))
-        self.decode_mat = Scalar.from_ints(np.array(eval_rows, dtype=object))
+        if self.d == 1:
+            w_l = _find_root_of_order(L_MOD, m)
+            prim = [j for j in range(m) if math.gcd(j, m) == 1]
+            assert len(prim) == self.phi
+            self.prim_idx = prim
+            eval_rows = [[pow(w_l, j * k, L_MOD) for k in range(self.phi)]
+                         for j in prim]
+            inv_rows = _invert_matrix_mod(eval_rows, L_MOD)
+            self.slots = self.phi
+            self.encode_mat = Scalar.from_ints(np.array(inv_rows, dtype=object))
+            self.decode_mat = Scalar.from_ints(np.array(eval_rows, dtype=object))
+        else:
+            zeta = _gf2_root_of_order(m)
+            prim = [j for j in range(m) if math.gcd(j, m) == 1]
+            # orbit representatives under j -> j*l mod m
+            reps, seen = [], set()
+            for j in prim:
+                if j in seen:
+                    continue
+                reps.append(j)
+                seen.add(j)
+                seen.add(j * (L_MOD % m) % m)
+            assert len(reps) == self.phi // 2
+            self.prim_idx = reps
+            self.slots = self.phi // 2
+            # M p = (x ; 0): rows = re/im parts of z^(j*k)
+            re_rows, im_rows = [], []
+            for j in reps:
+                zj = _gf2_pow(zeta, j)
+                re, im = [], []
+                cur = (1, 0)
+                for _ in range(self.phi):
+                    re.append(cur[0])
+                    im.append(cur[1])
+                    cur = _gf2_mul(cur, zj)
+                re_rows.append(re)
+                im_rows.append(im)
+            m_rows = re_rows + im_rows
+            m_inv = _invert_matrix_mod(m_rows, L_MOD)
+            # encode: coeffs = M^{-1} [x; 0]  -> (phi x slots) left block
+            enc = [[m_inv[i][j] for j in range(self.slots)]
+                   for i in range(self.phi)]
+            self.encode_mat = Scalar.from_ints(np.array(enc, dtype=object))
+            self.decode_mat = Scalar.from_ints(np.array(re_rows, dtype=object))
 
     def __hash__(self):
         return hash((self.m, self.q_primes[0], len(self.q_primes)))
@@ -302,6 +350,61 @@ class CyclotomicRing:
                 v -= self.q
             out.append(v)
         return out
+
+
+# --- GF(l^2) host arithmetic (slot-map precompute for d = 2) ---------------
+
+_GF2_NR = None  # quadratic non-residue mod l (lazy)
+
+
+def _gf2_nr() -> int:
+    global _GF2_NR
+    if _GF2_NR is None:
+        nr = 2
+        while pow(nr, (L_MOD - 1) // 2, L_MOD) == 1:
+            nr += 1
+        _GF2_NR = nr
+    return _GF2_NR
+
+
+def _gf2_mul(x, y):
+    a, b = x
+    c, d = y
+    nr = _gf2_nr()
+    return ((a * c + b * d % L_MOD * nr) % L_MOD, (a * d + b * c) % L_MOD)
+
+
+def _gf2_pow(x, e: int):
+    acc = (1, 0)
+    base = x
+    while e:
+        if e & 1:
+            acc = _gf2_mul(acc, base)
+        base = _gf2_mul(base, base)
+        e >>= 1
+    return acc
+
+
+def _gf2_root_of_order(order: int):
+    """Element of GF(l^2) with multiplicative order exactly `order`."""
+    assert (L_MOD * L_MOD - 1) % order == 0
+    # prime factors of `order`
+    fs, t, f = set(), order, 2
+    while f * f <= t:
+        if t % f == 0:
+            fs.add(f)
+            while t % f == 0:
+                t //= f
+        f += 1
+    if t > 1:
+        fs.add(t)
+    cof = (L_MOD * L_MOD - 1) // order
+    g = (2, 1)
+    while True:
+        w = _gf2_pow(g, cof)
+        if w != (1, 0) and all(_gf2_pow(w, order // p) != (1, 0) for p in fs):
+            return w
+        g = (g[0] + 1, g[1])
 
 
 def _find_root_of_order(p: int, order: int) -> int:

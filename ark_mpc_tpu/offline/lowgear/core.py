@@ -109,7 +109,7 @@ class LowGear:
             # the real protocol: local sampling + homomorphic MAC
             # (`shared_random.rs:56-71`)
             chunks = []
-            phi = self.ring.phi
+            phi = self.ring.slots
             for _ in range((n + phi - 1) // phi):
                 chunks.append(self._tl.generate_authenticated_randomness_l(
                     self.transport, self.setup, self.rng, self._next_key()))
@@ -177,7 +177,7 @@ class LowGear:
         generated in slot-batches of ring.phi.  dealer mode keeps identical
         shapes/semantics for downstream-protocol tests."""
         if self.mode == "bgv":
-            phi = self.ring.phi
+            phi = self.ring.slots
             chunks: list[tuple] = []
             for _ in range((n + phi - 1) // phi):
                 chunks.append(self._tl.generate_triple_pairs_l(

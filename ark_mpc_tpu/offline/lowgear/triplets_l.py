@@ -63,7 +63,7 @@ def key_exchange_l(transport: Transport, ring: CyclotomicRing,
 
     other_a, other_b = _exchange(transport, kp.pk_a, kp.pk_b)
 
-    key_slots = mac_key_share.broadcast_to((ring.phi,))
+    key_slots = mac_key_share.broadcast_to((ring.slots,))
     my_mac_enc = encrypt_l(ring, kp.pk_a, kp.pk_b,
                            encode_slots_l(ring, key_slots), ke)
     oc0, oc1 = _exchange(transport, my_mac_enc.c0, my_mac_enc.c1)
@@ -77,7 +77,7 @@ def share_product_l(transport: Transport, st: SetupL,
     """Cross-product step over F_l (`triplets.rs:155-234`): returns
     (my mask share, decrypted share of the peer's product)."""
     ring = st.ring
-    mask = Scalar.random(ring.phi, rng)
+    mask = Scalar.random(ring.slots, rng)
     prod = mul_pt_l(ring, enc_other, encode_slots_l(ring, my_factor))
     masked = add_pt_l(ring, prod, encode_slots_l(ring, -mask))
     masked = rerandomize_l(ring, st.other_pk_a, st.other_pk_b, masked, jkey)
@@ -132,8 +132,8 @@ def generate_triples_l(transport: Transport, st: SetupL,
     ([a], [b], [c=a*b]) as ScalarShares of shape (phi,)."""
     ring = st.ring
     keys = jax.random.split(jkey, 6)
-    a_i = Scalar.random(ring.phi, rng)
-    b_i = Scalar.random(ring.phi, rng)
+    a_i = Scalar.random(ring.slots, rng)
+    b_i = Scalar.random(ring.slots, rng)
 
     enc_other_a = _exchange_enc_a_proven(transport, st, a_i, rng, keys[0])
 
@@ -158,7 +158,7 @@ def generate_triple_pairs_l(transport: Transport, st: SetupL,
     same a and the same exchanged enc(a) — the sacrifice's input."""
     ring = st.ring
     keys = jax.random.split(jkey, 9)
-    a_i = Scalar.random(ring.phi, rng)
+    a_i = Scalar.random(ring.slots, rng)
 
     enc_other_a = _exchange_enc_a_proven(transport, st, a_i, rng, keys[0])
 
@@ -170,8 +170,8 @@ def generate_triple_pairs_l(transport: Transport, st: SetupL,
         c_mac = authenticate_vec_l(transport, st, c_vec, rng, k_ac)
         return ScalarShare(b_vec, b_mac), ScalarShare(c_vec, c_mac)
 
-    b1 = Scalar.random(ring.phi, rng)
-    b2 = Scalar.random(ring.phi, rng)
+    b1 = Scalar.random(ring.slots, rng)
+    b2 = Scalar.random(ring.slots, rng)
     sb1, sc1 = product(b1, keys[1], keys[2], keys[3])
     sb2, sc2 = product(b2, keys[4], keys[5], keys[6])
     a_mac = authenticate_vec_l(transport, st, a_i, rng, keys[7])
@@ -193,16 +193,16 @@ def generate_input_masks_l(transport: Transport, st: SetupL, n: int,
     of stream-B masks) where stream A = party0's masks, B = party1's.
     """
     ring = st.ring
-    assert n <= ring.phi, "mask batch larger than slot count"
+    assert n <= ring.slots, "mask batch larger than slot count"
     k1, k2 = jax.random.split(jkey)
 
     def stream(owner_is_me: bool, k):
         if owner_is_me:
-            clear = Scalar.random(ring.phi, rng)
+            clear = Scalar.random(ring.slots, rng)
             share = clear
         else:
             clear = None
-            share = Scalar.zeros(ring.phi)
+            share = Scalar.zeros(ring.slots)
         mac = authenticate_vec_l(transport, st, share, rng, k)
         return clear, ScalarShare(share, mac)
 
@@ -219,6 +219,6 @@ def generate_authenticated_randomness_l(transport: Transport, st: SetupL,
     """Authenticated random shares the real way
     (`lowgear/shared_random.rs:56-71`): sample locally, authenticate
     homomorphically."""
-    r_i = Scalar.random(st.ring.phi, rng)
+    r_i = Scalar.random(st.ring.slots, rng)
     r_mac = authenticate_vec_l(transport, st, r_i, rng, jkey)
     return ScalarShare(r_i, r_mac)

@@ -59,6 +59,27 @@ def test_slotwise_product_over_l():
     assert got.to_ints() == want
 
 
+def test_d2_ring_slot_products():
+    """GF(l^2) slot packing (d = 2, the production-m slot structure) at a
+    small index: encode/decode roundtrip and slot-wise homomorphic products
+    of F_l values."""
+    from ark_mpc_tpu.offline.bgv.cyclotomic import CyclotomicRing
+
+    ring2 = CyclotomicRing(35, n_q_primes=21)  # phi=24, d=2, 12 slots
+    assert ring2.d == 2 and ring2.slots == 12
+    kp2 = keygen_l(ring2, jax.random.PRNGKey(9))
+    a = Scalar.from_ints([rng.randrange(L) for _ in range(12)])
+    b = Scalar.from_ints([rng.randrange(L) for _ in range(12)])
+    back = decode_slots_l(ring2, encode_slots_l(ring2, a))
+    assert back.to_ints() == a.to_ints()
+    ct = encrypt_l(ring2, kp2.pk_a, kp2.pk_b, encode_slots_l(ring2, a),
+                   jax.random.PRNGKey(10))
+    prod = mul_pt_l(ring2, ct, encode_slots_l(ring2, b))
+    got = decode_slots_l(ring2, decrypt_l(ring2, kp2.sk, prod))
+    want = [(x * y) % L for x, y in zip(a.to_ints(), b.to_ints())]
+    assert got.to_ints() == want
+
+
 def test_ct_add_l():
     a, b = rand_slots(), rand_slots()
     ca = encrypt_l(RING, KP.pk_a, KP.pk_b, encode_slots_l(RING, a),
