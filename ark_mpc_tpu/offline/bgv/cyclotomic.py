@@ -328,6 +328,56 @@ class CyclotomicRing:
             out.append(jnp.where(is_high, v_neg, v_mod))
         return jnp.stack(out, axis=-2)
 
+    # -- double-CRT (evaluation-form) pathway ------------------------------
+    # HElib-style representation: a ring element is stored as its values at
+    # the phi(m) primitive m-th roots, per RNS prime.  + and x are POINTWISE
+    # (no reduction mod Phi_m ever needed) — the architecture that scales to
+    # the production m, where the dense phi x m reduction matrix is
+    # infeasible.  Conversions (coeff <-> eval) at prototype scale use dense
+    # per-prime matrices; at production scale they become PFA transforms
+    # restricted to primitive indices (ops/pfa.py).
+
+    def _ensure_eval_mats(self):
+        if hasattr(self, "eval_mats"):
+            return
+        self.eval_mats, self.eval_mats_inv = [], []
+        for spec in self.q_specs:
+            qq = spec.q
+            w = m32.primitive_root_of_unity(qq, self.m)
+            prim = [j for j in range(self.m) if math.gcd(j, self.m) == 1]
+            rows = [[pow(w, (j * k) % self.m, qq) for k in range(self.phi)]
+                    for j in prim]
+            inv = _invert_matrix_mod(rows, qq)
+            self.eval_mats.append(jnp.asarray(
+                np.array(rows, dtype=np.uint32)))
+            self.eval_mats_inv.append(jnp.asarray(
+                np.array(inv, dtype=np.uint32)))
+
+    def to_eval(self, a):
+        """Coefficient form (..., L, phi) -> evaluation form (..., L, phi)."""
+        self._ensure_eval_mats()
+        out = []
+        for i, spec in enumerate(self.q_specs):
+            out.append(self._matvec(spec, self.eval_mats[i], a[..., i, :]))
+        return jnp.stack(out, axis=-2)
+
+    def from_eval(self, v):
+        self._ensure_eval_mats()
+        out = []
+        for i, spec in enumerate(self.q_specs):
+            out.append(self._matvec(spec, self.eval_mats_inv[i],
+                                    v[..., i, :]))
+        return jnp.stack(out, axis=-2)
+
+    def mul_eval(self, u, v):
+        """Pointwise product in evaluation form (the DCRT hot path)."""
+        out = []
+        for i, spec in enumerate(self.q_specs):
+            p = m32.mont_mul32(spec, u[..., i, :], v[..., i, :])
+            out.append(m32.mont_mul32(
+                spec, p, jnp.full_like(p, jnp.uint32(spec.r2))))
+        return jnp.stack(out, axis=-2)
+
     def lift_object(self, arr) -> jnp.ndarray:
         """(..., phi) numpy object-int coefficients (any magnitude) ->
         (..., L, phi) residues (ZKPoK responses)."""
