@@ -297,8 +297,25 @@ class MpcFabric:
             (theirs,) = self._exchange_arrays([mine])
             opened = _combine_open(Scalar(masked.limbs), Scalar(jnp.asarray(theirs)))
             d, e = opened[:n], opened[n:]
-            out = _beaver_combine(self.party_id, a, b, c, d, e, self.mac_key)
+            out = self._beaver_combine_dispatch(a, b, c, d, e)
             return out.reshape(*shape)
+
+    def _beaver_combine_dispatch(self, a, b, c, d, e):
+        """Post-open Beaver combine: Pallas-tiled fused kernel on TPU for
+        tile-aligned batches (VMEM-resident conv/REDC — scales past the XLA
+        path's ~2^18 HBM-temp ceiling; see bench.py), XLA elsewhere."""
+        n = d.size
+        if jax.default_backend() == "tpu" and n % 512 == 0:
+            from ..ops.fp_kernels import beaver_round_pallas
+
+            key_b = jnp.broadcast_to(
+                self.mac_key.limbs.reshape(-1, 1), d.limbs.shape)
+            zs, zm = beaver_round_pallas(
+                Scalar.spec, self.party_id,
+                a.share.limbs, a.mac.limbs, b.share.limbs, b.mac.limbs,
+                c.share.limbs, c.mac.limbs, d.limbs, e.limbs, key_b)
+            return ScalarShare(Scalar(zs), Scalar(zm))
+        return _beaver_combine(self.party_id, a, b, c, d, e, self.mac_key)
 
     def mul_public(self, x: ScalarShare, k: Scalar) -> ScalarShare:
         return x.mul_public(k)
