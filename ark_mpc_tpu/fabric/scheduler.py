@@ -111,21 +111,75 @@ class TracedOpen:
     value: Scalar | None = None
 
 
+class TracedPointShare:
+    """Symbolic authenticated point batch inside a traced circuit
+    (the `AuthenticatedPointResult` role).  Linear ops are free; scalar x
+    point Beaver multiplications fuse per communication level like scalar
+    muls; point opens flush together."""
+
+    def __init__(self, tracer: "Tracer", node: _Node, shape: tuple):
+        self.tracer = tracer
+        self.node = node
+        self.shape = shape
+
+    def __add__(self, other: "TracedPointShare"):
+        return self.tracer._mkp("padd", (self, other), None, self.shape)
+
+    def __sub__(self, other: "TracedPointShare"):
+        return self.tracer._mkp("psub", (self, other), None, self.shape)
+
+    def __neg__(self):
+        return self.tracer._mkp("pneg", (self,), None, self.shape)
+
+    def mul_public(self, k: Scalar):
+        return self.tracer._mkp("pmul_pub", (self,), k, self.shape)
+
+    def mul(self, scalar: TracedShare):
+        """[x] * [P] via the generator-trick Beaver protocol; fused with
+        other level-mates into one round."""
+        assert scalar.shape == self.shape
+        return self.tracer._mkp("pmul", (self, scalar), None, self.shape)
+
+    def sum(self):
+        return self.tracer._mkp("psum", (self,), None, ())
+
+    def open(self) -> "TracedPointOpen":
+        handle = TracedPointOpen(self)
+        self.tracer.point_opens.append(handle)
+        return handle
+
+
+@dataclass(eq=False)
+class TracedPointOpen:
+    source: TracedPointShare
+    value: object | None = None  # CurvePoint after run()
+
+
 class Tracer:
     """Collects a circuit, then executes it round-by-round."""
 
     def __init__(self, fabric: MpcFabric):
         self.fabric = fabric
         self.opens: list[TracedOpen] = []
+        self.point_opens: list[TracedPointOpen] = []
 
     def wrap(self, share: ScalarShare) -> TracedShare:
         return TracedShare(
             self, _Node("input", (), share, tuple(share.shape)), share.shape
         )
 
+    def wrap_points(self, share) -> TracedPointShare:
+        return TracedPointShare(
+            self, _Node("pinput", (), share, tuple(share.shape)), share.shape
+        )
+
     def _mk(self, op, deps, payload, shape) -> TracedShare:
         node = _Node(op, tuple(d.node for d in deps), payload, tuple(shape))
         return TracedShare(self, node, shape)
+
+    def _mkp(self, op, deps, payload, shape) -> TracedPointShare:
+        node = _Node(op, tuple(d.node for d in deps), payload, tuple(shape))
+        return TracedPointShare(self, node, shape)
 
     def open(self, ts: TracedShare) -> TracedOpen:
         handle = TracedOpen(ts)
@@ -138,7 +192,9 @@ class Tracer:
         """Evaluate the circuit: fuse per-round muls/invs, flush opens once,
         run ONE deferred MAC check at the end (when `verify`)."""
         outputs = outputs or []
-        roots = [o.node for o in outputs] + [h.source.node for h in self.opens]
+        roots = ([o.node for o in outputs]
+                 + [h.source.node for h in self.opens]
+                 + [h.source.node for h in self.point_opens])
 
         depth: dict[int, int] = {}
         order: list[_Node] = []
@@ -151,7 +207,7 @@ class Tracer:
             for d in n.deps:
                 visit(d)
             dd = max((depth[d.nid] for d in n.deps), default=0)
-            depth[n.nid] = dd + (1 if n.op in ("mul", "inv") else 0)
+            depth[n.nid] = dd + (1 if n.op in ("mul", "inv", "pmul") else 0)
             order.append(n)
 
         for r in roots:
@@ -181,7 +237,19 @@ class Tracer:
                 )
             elif n.op == "sum":
                 out = deps[0].sum()
-            else:  # mul/inv handled by the round loop
+            elif n.op == "pinput":
+                out = n.payload
+            elif n.op == "padd":
+                out = deps[0] + deps[1]
+            elif n.op == "psub":
+                out = deps[0] - deps[1]
+            elif n.op == "pneg":
+                out = -deps[0]
+            elif n.op == "pmul_pub":
+                out = deps[0].mul_public(n.payload)
+            elif n.op == "psum":
+                out = deps[0].sum()
+            else:  # mul/inv/pmul handled by the round loop
                 raise AssertionError(f"comm node {n.op} not yet flushed")
             values[n.nid] = out
             return out
@@ -212,6 +280,23 @@ class Tracer:
                     k = _numel(n)
                     values[n.nid] = big[off : off + k]
                     off += k
+            pmuls = [n for n in order
+                     if n.op == "pmul" and depth[n.nid] == level]
+            if pmuls:
+                from ..algebra.point_share import PointShare
+
+                pts = [eval_local(n.deps[0]).reshape(_numel(n))
+                       for n in pmuls]
+                scs = [eval_local(n.deps[1]).reshape(_numel(n))
+                       for n in pmuls]
+                big = self.fabric.mul_points(
+                    ScalarShare.concatenate(scs), PointShare.concatenate(pts)
+                )
+                off = 0
+                for n in pmuls:
+                    k = _numel(n)
+                    values[n.nid] = big[off : off + k]
+                    off += k
 
         # one coalesced open flush for everything requested
         if self.opens:
@@ -226,6 +311,22 @@ class Tracer:
             off = 0
             for h, k in zip(self.opens, sizes):
                 h.value = opened[off : off + k].reshape(*h.source.shape)
+                off += k
+        if self.point_opens:
+            from ..algebra.point_share import PointShare
+
+            flatp = [
+                eval_local(h.source.node).reshape(_numel(h.source.node))
+                for h in self.point_opens
+            ]
+            sizes = [p.size for p in flatp]
+            opened_p = self.fabric.open_authenticated_points(
+                PointShare.concatenate(flatp), defer=True
+            )
+            off = 0
+            for h, k in zip(self.point_opens, sizes):
+                h.value = opened_p[(slice(off, off + k),)].reshape(
+                    *h.source.shape)
                 off += k
         if verify:
             self.fabric.verify_deferred()

@@ -65,3 +65,42 @@ def test_traced_inverse_and_sum():
 
     r0, r1 = execute_mock_mpc_dealer(prog)
     assert r0 == r1 == [3]
+
+
+def test_traced_point_circuit():
+    """Traced point ops: fused scalar-x-point Beaver level + point open
+    flush + one deferred check round."""
+    from ark_mpc_tpu.algebra.curve import CurvePoint
+
+    ks = [rng.randrange(L) for _ in range(2)]
+    pts = CurvePoint.generator((2,)).mul(Scalar.from_ints([5, 9]))
+
+    def prog(fabric):
+        sp = fabric.share_points(
+            pts if fabric.party_id == 0 else None, sender=0, n=2)
+        sk = fabric.share_values(
+            Scalar.from_ints(ks) if fabric.party_id == 1 else None,
+            sender=1, n=2)
+        tr = fabric.tracer()
+        p, k = tr.wrap_points(sp), tr.wrap(sk)
+        prod = p.mul(k)            # Beaver scalar x point (one fused round)
+        expr = prod + p            # linear, free
+        total = expr.sum()         # MSM-style reduction
+        o1, o2 = expr.open(), total.open()
+        tr.run()
+        def aff(pt):
+            x, y = pt.to_affine()
+            return list(zip(x.to_ints(), y.to_ints()))
+        return aff(o1.value), aff(o2.value.reshape(1))
+
+    (e0, t0), (e1, t1) = execute_mock_mpc_dealer(prog)
+    assert e0 == e1 and t0 == t1
+    # golden: (k_i + 1) * P_i and the sum
+    base = [5, 9]
+    want_scalars = [(k + 1) * b % L for k, b in zip(ks, base)]
+    want_pts = CurvePoint.generator((2,)).mul(Scalar.from_ints(want_scalars))
+    x, y = want_pts.to_affine()
+    assert e0 == list(zip(x.to_ints(), y.to_ints()))
+    s = want_pts.sum()
+    sx, sy = s.to_affine()
+    assert t0 == [(sx.to_int(), sy.to_int())]
