@@ -201,6 +201,27 @@ class CurvePoint:
     def is_identity(self):
         return self.X.is_zero() & self.Y.equals(self.Z)
 
+    def is_on_curve(self):
+        """Projective curve membership + extended-coordinate consistency:
+        (Y^2 - X^2) Z^2 == Z^4 + d X^2 Y^2  and  T Z == X Y.
+
+        Points received off the wire MUST pass this (and the subgroup check)
+        before use — the reference gets both for free from arkworks
+        deserialization (`curve.rs:103-114`); skipping them enables
+        invalid-curve / small-subgroup attacks on the MAC key share."""
+        xx = self.X.square()
+        yy = self.Y.square()
+        zz = self.Z.square()
+        lhs = (yy - xx) * zz
+        rhs = zz.square() + _const(ED_D, self.shape) * xx * yy
+        t_ok = (self.T * self.Z).equals(self.X * self.Y)
+        return lhs.equals(rhs) & t_ok
+
+    def is_in_prime_subgroup(self):
+        """l * P == identity (l = the prime group order): combined with
+        `is_on_curve` this is full arkworks-style validation."""
+        return _mul_by_order(self).is_identity()
+
     def compress(self) -> bytes:
         """Ed25519 compressed encoding: 32B LE y with sign bit of x
         (serialization parity with `curve.rs:103-114` compressed ser/de)."""
@@ -274,6 +295,30 @@ def _scalar_mul(point: CurvePoint, scalar: Scalar) -> CurvePoint:
 
     acc0 = CurvePoint.identity(shape)
     return jax.lax.fori_loop(0, nbits, body, acc0)
+
+
+@jax.jit
+def _mul_by_order(point: CurvePoint) -> CurvePoint:
+    """Multiply by the (public, constant) group order l — the subgroup
+    check.  Same ladder as `_scalar_mul` but the bits are the order itself
+    (which is not representable as a `Scalar`: l = 0 mod l)."""
+    shape = point.shape
+    canon = jnp.broadcast_to(
+        jnp.asarray(lb.int_to_limbs(SCALAR_FIELD.modulus),
+                    jnp.uint32).reshape((NLIMBS,) + (1,) * len(shape)),
+        (NLIMBS,) + shape)
+    nbits = SCALAR_FIELD.modulus.bit_length()
+
+    def body(i, acc: CurvePoint) -> CurvePoint:
+        bit_index = nbits - 1 - i
+        limb = jax.lax.dynamic_index_in_dim(canon, bit_index >> 4, axis=0,
+                                            keepdims=False)
+        bit = (limb >> (bit_index.astype(jnp.uint32) & 15)) & 1
+        acc = acc.double()
+        added = acc + point
+        return added.select(bit == 1, acc)
+
+    return jax.lax.fori_loop(0, nbits, body, CurvePoint.identity(shape))
 
 
 def hash_to_curve(data: bytes, n: int = 1) -> CurvePoint:

@@ -59,12 +59,17 @@ class FieldArray:
     def random(cls, shape=(), rng: np.random.Generator | None = None):
         """Uniform field elements (negligible bias via 448-bit reduction).
 
-        Host-side numpy RNG: used for protocol blinders/masks where the
-        sampling itself is not hot. Hot-path randomness (offline phase) uses
-        device-side keys in `ops`.
+        Host-side RNG: used for protocol blinders/masks where the sampling
+        itself is not hot.  Defaults to an OS-entropy CSPRNG (`utils.csprng`)
+        — these values are protocol secrets; a recoverable PRNG breaks
+        commitment hiding and coin unpredictability.  Tests may pass a
+        seeded generator explicitly.
         """
         shape = (shape,) if isinstance(shape, int) else tuple(shape)
-        rng = rng or np.random.default_rng()
+        if rng is None:
+            from ..utils.csprng import default_crypto_rng
+
+            rng = default_crypto_rng()
         n = int(np.prod(shape)) if shape else 1
         wide = np.zeros((32, n), dtype=np.uint32)
         raw = rng.integers(0, 1 << 16, size=(28, n), dtype=np.uint32)

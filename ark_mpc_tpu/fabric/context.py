@@ -26,7 +26,6 @@ per-program per SURVEY §7(e)).
 from __future__ import annotations
 
 import functools
-import secrets
 
 import jax
 import jax.numpy as jnp
@@ -101,7 +100,11 @@ class MpcFabric:
         self.transport = transport
         self.offline = offline
         self.mac_key = offline.get_mac_key_share()
-        self.rng = rng or np.random.default_rng(secrets.randbits(64))
+        if rng is None:
+            from ..utils.csprng import default_crypto_rng
+
+            rng = default_crypto_rng()
+        self.rng = rng
         if collect_stats:
             from ..utils.stats import FabricStats
 

@@ -46,6 +46,27 @@ def _wire_arrays(pt: CurvePoint):
     return np.asarray(jax.device_get(xc)), np.asarray(jax.device_get(yc))
 
 
+@jax.jit
+def _points_valid(pt: CurvePoint):
+    """Full received-point validation: on-curve AND prime-order subgroup
+    (what arkworks deserialization enforces in the reference).  Without the
+    subgroup check a malicious peer can inject small-order components and
+    learn MAC-key-share bits from the revealed d = key*Q in the point MAC
+    check; without the curve check, invalid-curve attacks apply."""
+    return pt.is_on_curve() & pt.is_in_prime_subgroup()
+
+
+def _point_from_wire_checked(xc, yc) -> CurvePoint:
+    """Build a point batch from received affine coordinates, rejecting any
+    invalid or out-of-subgroup point (malicious abort)."""
+    pt = _point_from_wire(jnp.asarray(xc), jnp.asarray(yc))
+    ok = np.asarray(jax.device_get(_points_valid(pt)))
+    if not ok.all():
+        raise AuthenticationError(
+            "received point failed curve/subgroup validation")
+    return pt
+
+
 def point_bytes_be(pt: CurvePoint) -> bytes:
     """Canonical affine (x || y) big-endian bytes per point, vectorized —
     the `ToBytes` role for commitment hashing (`authenticated_curve.rs`
@@ -102,7 +123,7 @@ def share_points(fabric: MpcFabric, points: CurvePoint | None, sender: int,
         assert n is not None
         mask_share = fabric.offline.next_counterparty_input_mask_batch(n)
         xc, yc = fabric.recv_arrays()
-        masked = _point_from_wire(jnp.asarray(xc), jnp.asarray(yc))
+        masked = _point_from_wire_checked(xc, yc)
         shape = (n,)
     mask_points = scalar_share_mul_point(mask_share, gen((n,)))
     out = mask_points.add_public(masked, fabric.mac_key, fabric.party_id)
@@ -121,7 +142,7 @@ def open_points(fabric: MpcFabric, ps: PointShare) -> CurvePoint:
     one exchange of affine share coordinates + one point-add kernel."""
     xa, ya = _wire_arrays(ps.share)
     theirs = fabric._exchange_arrays([xa, ya])
-    their_pt = _point_from_wire(jnp.asarray(theirs[0]), jnp.asarray(theirs[1]))
+    their_pt = _point_from_wire_checked(theirs[0], theirs[1])
     return _combine_point_open(ps.share, their_pt)
 
 
@@ -149,7 +170,7 @@ def run_point_mac_check(fabric: MpcFabric, d: CurvePoint) -> None:
     theirs = fabric._exchange_arrays([xa, ya])
     peer_blinder = fabric.exchange_scalars(blinder)
 
-    peer_d = _point_from_wire(jnp.asarray(theirs[0]), jnp.asarray(theirs[1]))
+    peer_d = _point_from_wire_checked(theirs[0], theirs[1])
     if not commitment.verify_bytes(point_bytes_be(peer_d), peer_blinder, peer_comm):
         raise AuthenticationError("point MAC check commitment failed")
     ok = np.asarray(jax.device_get(_point_sum_is_identity(d, peer_d)))
@@ -195,7 +216,7 @@ def beaver_mul_points(fabric: MpcFabric, x: ScalarShare,
     theirs = fabric._exchange_arrays([ms, xa, ya])
     d = _combine_open(masked_scalar, Scalar(jnp.asarray(theirs[0])))
     e_pt = _combine_point_open(
-        masked_point, _point_from_wire(jnp.asarray(theirs[1]), jnp.asarray(theirs[2]))
+        masked_point, _point_from_wire_checked(theirs[1], theirs[2])
     )
 
     return _beaver_point_combine(fabric.party_id, a, b_gen, c, d, e_pt,

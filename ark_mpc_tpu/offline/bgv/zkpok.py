@@ -93,7 +93,10 @@ def encrypt_and_prove_batch(params: BgvParams, pk_a, pk_b, pt_batch,
     """Encrypt a batch of U plaintext coefficient vectors and prove
     knowledge (`fhe/keys.rs` encrypt_and_prove_batch; sec mirrors the
     reference's statistical parameter)."""
-    host_rng = host_rng or np.random.default_rng()
+    if host_rng is None:
+        from ...utils.csprng import default_crypto_rng
+
+        host_rng = default_crypto_rng()
     pt_batch = np.asarray(pt_batch, dtype=np.uint32)
     u_count, n = pt_batch.shape
     tau = params.t // 2

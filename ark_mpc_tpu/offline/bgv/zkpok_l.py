@@ -65,7 +65,10 @@ def encrypt_and_prove_batch_l(ring: CyclotomicRing, pk_a, pk_b,
                               host_rng: np.random.Generator | None = None
                               ) -> CiphertextWithProofL:
     """pt_coeff_list: list of U plaintext-coefficient Scalars (phi,)."""
-    host_rng = host_rng or np.random.default_rng()
+    if host_rng is None:
+        from ...utils.csprng import default_crypto_rng
+
+        host_rng = default_crypto_rng()
     u_count = len(pt_coeff_list)
     phi = ring.phi
     tau = L_MOD // 2

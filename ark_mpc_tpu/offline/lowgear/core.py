@@ -46,8 +46,18 @@ class LowGear:
         self.party_id = party_id
         self.transport = transport
         self.mode = mode
-        self.rng = rng or np.random.default_rng(1234 + party_id)
+        if rng is None:
+            # SECURE DEFAULT: every secret this state machine draws (MAC key
+            # share, triple secrets, input masks, BGV secret key, noise)
+            # comes from OS entropy.  Deterministic generators are for tests
+            # only and must be passed explicitly.
+            from ...utils.csprng import default_crypto_rng
+
+            rng = default_crypto_rng()
+        self.rng = rng
         if mode == "bgv":
+            import secrets as _secrets
+
             import jax
 
             from ..bgv.bgv_l import default_ring
@@ -56,7 +66,7 @@ class LowGear:
             self._tl = triplets_l
             self.ring = ring or default_ring()
             self._jkey = jkey if jkey is not None else jax.random.PRNGKey(
-                0xB6 + party_id)
+                _secrets.randbits(63))
             self.setup = triplets_l.key_exchange_l(
                 transport, self.ring, self.rng, self._next_key())
             self.mac_key_share = self.setup.mac_key_share

@@ -54,9 +54,14 @@ class SetupL:
 
 
 def key_exchange_l(transport: Transport, ring: CyclotomicRing,
-                   rng: np.random.Generator, jkey) -> SetupL:
+                   rng, jkey) -> SetupL:
     """Sample a MAC key share, generate a BGV keypair, exchange PKs and
-    encrypted MAC shares (`setup.rs:13-32` over the real field)."""
+    encrypted MAC shares (`setup.rs:13-32` over the real field).
+
+    The MAC-share ciphertext exchange is gated behind the l-field ZKPoK,
+    matching `setup.rs` (`run_key_exchange` uses encrypt_and_prove /
+    verify_proof) — LowGear's malicious-security argument relies on proving
+    plaintext knowledge of enc(mac_key_share), not only of enc(a)."""
     kg, ke = jax.random.split(jkey)
     kp = keygen_l(ring, kg)
     mac_key_share = Scalar.random((), rng)
@@ -64,11 +69,10 @@ def key_exchange_l(transport: Transport, ring: CyclotomicRing,
     other_a, other_b = _exchange(transport, kp.pk_a, kp.pk_b)
 
     key_slots = mac_key_share.broadcast_to((ring.slots,))
-    my_mac_enc = encrypt_l(ring, kp.pk_a, kp.pk_b,
-                           encode_slots_l(ring, key_slots), ke)
-    oc0, oc1 = _exchange(transport, my_mac_enc.c0, my_mac_enc.c1)
-    return SetupL(ring, kp, other_a, other_b, CiphertextL(oc0, oc1),
-                  mac_key_share)
+    st = SetupL(ring, kp, other_a, other_b, None, mac_key_share)
+    st.other_mac_enc = _exchange_encryption_proven(
+        transport, st, encode_slots_l(ring, key_slots), rng, ke)
+    return st
 
 
 def share_product_l(transport: Transport, st: SetupL,
@@ -97,14 +101,18 @@ def authenticate_vec_l(transport: Transport, st: SetupL, values: Scalar,
     return values * st.mac_key_share + mask + dec
 
 
-ZK_ROWS = 16  # Fiat-Shamir challenge rows (soundness ~2^-16 per exchange in
-#               tests; production uses >= 64)
+ZK_ROWS = 64  # Fiat-Shamir binary challenge rows: soundness 2^-64 per
+#               exchange (the production floor; `fhe/keys.rs:55-100` runs
+#               MP-SPDZ's proof at sec = 128 — tracked for the large-m sets)
 
 
-def _exchange_enc_a_proven(transport: Transport, st: SetupL, a_i: Scalar,
-                           rng: np.random.Generator, jkey) -> CiphertextL:
-    """Exchange enc(a) gated on the l-field ZK proof of plaintext knowledge
-    (`triplets.rs:69-81`)."""
+def _exchange_encryption_proven(transport: Transport, st: SetupL,
+                                pt_coeffs: Scalar, rng, jkey,
+                                zk_rows: int | None = None) -> CiphertextL:
+    """Exchange one ciphertext each way, gated on the l-field ZK proof of
+    plaintext knowledge — used for both enc(a) (`triplets.rs:69-81`) and
+    enc(mac_key_share) (`setup.rs:13-32`).  Proving runs under OUR public
+    key; verification under the PEER's."""
     from ...fabric import messages as _messages
     from ..bgv.zkpok_l import (
         encrypt_and_prove_batch_l,
@@ -115,15 +123,23 @@ def _exchange_enc_a_proven(transport: Transport, st: SetupL, a_i: Scalar,
     from ..errors import KeyExchangeError
 
     ring = st.ring
+    v = zk_rows or ZK_ROWS
     proof = encrypt_and_prove_batch_l(
         ring, st.keypair.pk_a, st.keypair.pk_b,
-        [encode_slots_l(ring, a_i)], jkey, v=ZK_ROWS, host_rng=rng)
+        [pt_coeffs], jkey, v=v, host_rng=rng)
     frame = _messages.encode_arrays(proof_to_arrays_l(proof))
     peer_items = _messages.decode_arrays(transport.exchange(frame))
-    peer = proof_from_arrays_l(peer_items, ZK_ROWS, ring.phi)
+    peer = proof_from_arrays_l(peer_items, v, ring.phi)
     if not verify_proof_l(ring, st.other_pk_a, st.other_pk_b, peer):
         raise KeyExchangeError("peer's l-field ciphertext proof failed")
     return CiphertextL(peer.cts.c0[0], peer.cts.c1[0])
+
+
+def _exchange_enc_a_proven(transport: Transport, st: SetupL, a_i: Scalar,
+                           rng, jkey) -> CiphertextL:
+    """Exchange enc(a) gated on the ZKPoK (`triplets.rs:69-81`)."""
+    return _exchange_encryption_proven(
+        transport, st, encode_slots_l(st.ring, a_i), rng, jkey)
 
 
 def generate_triples_l(transport: Transport, st: SetupL,

@@ -1,10 +1,17 @@
 """Headline benchmark: authenticated Beaver multiplication throughput.
 
-Measures the BASELINE.json north-star config: 2^24 authenticated Beaver
-multiplications (2^20-element batches x 16 rounds), batch-verified with ONE
-MAC check, on the available TPU chip.  Both logical parties' online compute
-runs on this single chip (a real deployment gives each party its own
-chips), so the reported mults/sec/chip is conservative by ~2x.
+Measures the BASELINE.json north-star config: authenticated Beaver
+multiplications in 2^22-element batches, K dependent rounds CHAINED into a
+single dispatch by `lax.scan` (round i+1 multiplies round i's authenticated
+output — `circuit_mul_throughput.rs:11-44` semantics), batch-verified with
+ONE MAC check, on the available TPU chip.  Chaining pays the ~80 ms tunnel
+relay RTT once per K rounds instead of per round.  Both logical parties'
+online compute runs on this single chip (a real deployment gives each party
+its own chips), so the reported mults/sec/chip is conservative by ~2x.
+Offline triple material is mock-dealer (`PartyIDBeaverSource` semantics,
+like the reference's criterion benches) and one triple batch is reused
+across chained rounds — generation is excluded from online timing, as in
+`circuit_mul_throughput.rs`.
 
 The CPU anchor: ark-mpc publishes no numbers (BASELINE.md) and this image has
 no Rust toolchain to run its criterion benches, so `vs_baseline` uses an
@@ -40,7 +47,10 @@ def main():
     # and OOMs beyond ~2^18).
     default_n = 1 << 22 if os.environ.get("BENCH_PALLAS", "1") == "1" else 1 << 19
     n = int(os.environ.get("BENCH_N", default_n))
-    rounds = int(os.environ.get("BENCH_ROUNDS", max(1, (1 << 24) // n)))
+    # Default: 2^26 mults as one scan-chained dispatch (16 dependent rounds
+    # of 2^22), ONE MAC check — the north-star config (2^24 per batch) times
+    # four, now that chaining amortizes the dispatch RTT.
+    rounds = int(os.environ.get("BENCH_ROUNDS", max(1, (1 << 26) // n)))
 
     from ark_mpc_tpu.algebra.scalar import Scalar
     from ark_mpc_tpu.fabric import commitment
@@ -71,6 +81,10 @@ def main():
     log(f"offline dealer setup: {time.time()-t0:.1f}s")
 
     # --- fused two-party online round ---
+    # Each round returns the authenticated product shares (z0, z1) so rounds
+    # CHAIN: round i+1 multiplies round i's output by y — a genuinely
+    # dependent sequence of Beaver rounds (`circuit_mul_throughput.rs:11-44`
+    # semantics), scanned on-device so one dispatch carries K rounds.
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     if use_pallas:
         # Pallas-tiled kernels keep every conv/REDC temp in VMEM, removing
@@ -107,7 +121,7 @@ def main():
                 r = Scalar(mont_mul_pallas(spec_, t.limbs, coeffs.limbs))
                 return acc + r.sum()
 
-            return fold(key0, z0.mac, acc0), fold(key1, z1.mac, acc1), v
+            return fold(key0, z0.mac, acc0), fold(key1, z1.mac, acc1), z0, z1, v
     else:
         def one_round(x0, x1, y0, y1, a0, b0, c0, a1, b1, c1,
                       key0, key1, coeffs, acc0, acc1):
@@ -120,7 +134,7 @@ def main():
             v = z0.share + z1.share
             t0 = mac_check_fold(key0, v, z0.mac, coeffs)
             t1 = mac_check_fold(key1, v, z1.mac, coeffs)
-            return acc0 + t0, acc1 + t1, v
+            return acc0 + t0, acc1 + t1, z0, z1, v
 
 
     rng0 = np.random.default_rng(7)
@@ -157,18 +171,39 @@ def main():
         assert commitment.verify_bytes(canon_bytes(c1), blinder1, comm1)
         return bool(np.asarray(ok).all())
 
-    both_parties_round = jax.jit(one_round)
+    # --- K rounds chained per dispatch (lax.scan over device-resident
+    # round state): the relay/dispatch RTT is paid once per K rounds, not
+    # per round.  The carry is (x0, x1, acc0, acc1); each step's
+    # authenticated product becomes the next step's left operand.
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def chained_rounds(k, x0, x1, y0, y1, a0, b0, c0, a1, b1, c1,
+                       key0, key1, coeffs, acc0, acc1):
+        def step(carry, _):
+            cx0, cx1, cacc0, cacc1 = carry
+            nacc0, nacc1, z0, z1, v = one_round(
+                cx0, cx1, y0, y1, a0, b0, c0, a1, b1, c1,
+                key0, key1, coeffs, cacc0, cacc1)
+            return (z0, z1, nacc0, nacc1), None
+
+        (zf0, zf1, acc0, acc1), _ = jax.lax.scan(
+            step, (x0, x1, acc0, acc1), None, length=k)
+        return acc0, acc1, zf0, zf1
+
+    chain = int(os.environ.get("BENCH_CHAIN", min(rounds, 16)))
+    n_dispatch = max(1, rounds // chain)
 
     # Warmup: compile everything with block_until_ready only — NO device_get
     # before the timed run (see note above).
     az, bz = Scalar.zeros(()), Scalar.zeros(())
-    w0, w1, wv = both_parties_round(x0, x1, y0, y1, a0, b0, c0, a1, b1, c1,
-                                    key0, key1, coeffs, az, bz)
-    jax.block_until_ready((w0.limbs, w1.limbs, wv.limbs))
+    w0, w1, wz0, wz1 = chained_rounds(chain, x0, x1, y0, y1, a0, b0, c0,
+                                      a1, b1, c1, key0, key1, coeffs, az, bz)
+    jax.block_until_ready((w0.limbs, w1.limbs, wz0.share.limbs))
     jax.block_until_ready(_check_compute(w0, w1))
     warm = Scalar.random((), np.random.default_rng(1))  # warm sampling path
     jax.block_until_ready(warm.limbs)
-    log("compiled (round + check paths)")
+    log(f"compiled (chained round x{chain} + check paths)")
 
     # The tunneled dev chip acks dispatches optimistically until the first
     # device->host transfer, after which the session becomes synchronous
@@ -197,13 +232,15 @@ def main():
         f"for n={n_ref} ({n_ref/sol/1e6:.1f} M field-muls/s incl. relay RTT)")
 
     acc0, acc1 = az, bz
+    cx0, cx1 = x0, x1
     t0 = time.time()
-    for i in range(rounds):
-        acc0, acc1, v = both_parties_round(x0, x1, y0, y1, a0, b0, c0,
-                                           a1, b1, c1, key0, key1, coeffs,
-                                           acc0, acc1)
+    for i in range(n_dispatch):
+        acc0, acc1, cx0, cx1 = chained_rounds(
+            chain, cx0, cx1, y0, y1, a0, b0, c0, a1, b1, c1,
+            key0, key1, coeffs, acc0, acc1)
         jax.block_until_ready(acc0.limbs)
     elapsed = time.time() - t0
+    rounds = n_dispatch * chain  # actual executed rounds
 
     # MAC-check device compute (timed; part of the protocol work)
     t_check = time.time()

@@ -5,11 +5,10 @@ args = ap.parse_args()
 import numpy as np
 from ark_mpc_tpu import LowGear, MpcFabric, OfflineSizingParams, Scalar, TcpTransport
 tr = TcpTransport(args.party, "127.0.0.1", args.port, timeout=600)
-lg = LowGear(args.party, tr, mode="bgv", rng=np.random.default_rng(60 + args.party))
+lg = LowGear(args.party, tr, mode="bgv")  # secure OS-entropy defaults
 lg.run_offline_phase(OfflineSizingParams(num_triples=4, num_inverse_pairs=1,
                                          num_bits=1, num_randomness=2, num_input_masks=2))
-online = MpcFabric(args.party, tr, lg.get_offline_result(),
-                   rng=np.random.default_rng(70 + args.party))
+online = MpcFabric(args.party, tr, lg.get_offline_result())
 sx = online.share_values(Scalar.from_ints([6, 7]) if args.party == 0 else None, sender=0, n=2)
 sy = online.share_values(Scalar.from_ints([8, 9]) if args.party == 1 else None, sender=1, n=2)
 z = online.open_authenticated(online.mul(sx, sy))
