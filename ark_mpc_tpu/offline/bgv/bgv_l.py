@@ -49,6 +49,25 @@ def default_ring(m: int = 132, n_q_primes: int = 21) -> CyclotomicRing:
     return CyclotomicRing(m, n_q_primes=n_q_primes)
 
 
+def production_ring(n_q_primes: int | None = None):
+    """The RLWE-secure production ring: m = 118965 (phi = 48960, 24480
+    GF(l^2) slots), powerful-basis representation, drown sec 128, RNS
+    basis auto-sized to the noise budget.  Parameter justification:
+    docs/security_params.md; reference analog
+    `mp-spdz-rs/src/fhe/params.rs:41-67` (modulus-targeted generation)."""
+    from .powerful import PowerfulRing
+
+    return PowerfulRing(118965, n_q_primes=n_q_primes, drown_sec=128)
+
+
+def medium_ring(n_q_primes: int | None = None):
+    """Mid-size ring with the production code paths (powerful basis,
+    d = 2): m = 1155 = 3*5*7*11, phi = 480, 240 slots.  For tests/CI."""
+    from .powerful import PowerfulRing
+
+    return PowerfulRing(1155, n_q_primes=n_q_primes, drown_sec=128)
+
+
 # -- sampling ---------------------------------------------------------------
 
 
@@ -66,7 +85,9 @@ def _sample_cbd(ring, key, batch=()):
 
 def _sample_wide_uniform(ring, key, bound_bits: int, batch=()):
     """Uniform signed noise with |e| < 2^bound_bits, composed from 24-bit
-    words lifted through per-prime powers of 2^24 (drowning noise)."""
+    words through per-prime powers of 2^24 (drowning noise).  Words are
+    accumulated as per-prime COEFFICIENT residues and lifted to the ring's
+    canonical representation once (one transform, not one per word)."""
     words = (bound_bits + 23) // 24
     acc = None
     for w in range(words):
@@ -74,16 +95,17 @@ def _sample_wide_uniform(ring, key, bound_bits: int, batch=()):
         bits = min(24, bound_bits - 24 * w)
         v = jax.random.randint(sub, batch + (ring.phi,),
                                -(1 << bits), (1 << bits) + 1, jnp.int32)
-        part = ring.lift_signed(v)
-        if w:
-            out = []
-            for i, spec in enumerate(ring.q_specs):
+        parts = []
+        for i, spec in enumerate(ring.q_specs):
+            r = jnp.where(v < 0, v + jnp.int32(spec.q), v).astype(U32) \
+                % U32(spec.q)
+            if w:
                 c = (pow(2, 24 * w, spec.q) * spec.r) % spec.q
-                out.append(mont_mul32(spec, part[..., i, :],
-                                      jnp.full_like(part[..., i, :], U32(c))))
-            part = jnp.stack(out, axis=-2)
+                r = mont_mul32(spec, r, jnp.full_like(r, U32(c)))
+            parts.append(r)
+        part = jnp.stack(parts, axis=-2)
         acc = part if acc is None else ring.add(acc, part)
-    return acc
+    return ring.lift_residues(acc)
 
 
 # -- scheme -----------------------------------------------------------------
@@ -101,12 +123,19 @@ def keygen_l(ring: CyclotomicRing, key) -> KeypairL:
     return KeypairL(ring, s, a, b)
 
 
-def encode_slots_l(ring: CyclotomicRing, slots: Scalar) -> Scalar:
-    """F_l slot values (ring.slots,) -> plaintext coefficients (phi,)."""
+def encode_slots_l(ring, slots: Scalar) -> Scalar:
+    """F_l slot values (..., ring.slots) -> plaintext coefficients
+    (..., phi).  Dispatches to the ring's transform-based maps
+    (PowerfulRing per-axis GF(l^2) transforms) or the prototype dense
+    matrices (CyclotomicRing)."""
+    if hasattr(ring, "encode_slots"):
+        return ring.encode_slots(slots)
     return (ring.encode_mat @ slots.reshape(ring.slots, 1)).reshape(ring.phi)
 
 
-def decode_slots_l(ring: CyclotomicRing, coeffs: Scalar) -> Scalar:
+def decode_slots_l(ring, coeffs: Scalar) -> Scalar:
+    if hasattr(ring, "decode_slots"):
+        return ring.decode_slots(coeffs)
     return (ring.decode_mat @ coeffs.reshape(ring.phi, 1)).reshape(ring.slots)
 
 
@@ -139,9 +168,12 @@ def encrypt_l(ring: CyclotomicRing, pk_a, pk_b, pt_coeffs: Scalar,
     return ct
 
 
-def decrypt_l(ring: CyclotomicRing, sk, ct: CiphertextL) -> Scalar:
+def decrypt_l(ring, sk, ct: CiphertextL) -> Scalar:
     """-> plaintext coefficients as a Scalar (phi,)."""
     phase = ring.add(ct.c0, ring.mul(ct.c1, sk))
+    if hasattr(ring, "phase_to_pt"):
+        # device-side exact RNS -> F_l conversion (no host bigint CRT)
+        return ring.phase_to_pt(phase)
     ints = ring.to_centered_ints(phase)
     return Scalar.from_ints([v % L_MOD for v in ints])
 
@@ -163,6 +195,13 @@ def rerandomize_l(ring, pk_a, pk_b, ct: CiphertextL, key,
                   drown_bits: int | None = None) -> CiphertextL:
     """Drowning: add enc(0) whose noise statistically hides the
     ciphertext's post-product noise (bound ~ 2^sec * E_mult)."""
+    if drown_bits is None:
+        drown_bits = getattr(ring, "drown_bits", None)
+        if drown_bits is not None and not getattr(ring, "budget_ok", True):
+            raise ValueError(
+                f"RNS basis too small for drowning at this security level: "
+                f"log2(q) = {ring.log2_q} < 253 + {drown_bits} + 18; add "
+                f"primes (n_q_primes) or lower drown_sec/zk_sec")
     if drown_bits is None:
         # E_mult ~ phi * (t/2) * cbd_k * phi  -> ~ 253 + 2*log2(phi) + 4
         import math

@@ -286,6 +286,10 @@ class CyclotomicRing:
         return jnp.stack(out, axis=-2)
 
     # -- lifting -----------------------------------------------------------
+    def lift_residues(self, coeffs_rns):
+        """Per-prime coefficient residues are this ring's canonical rep."""
+        return coeffs_rns
+
     def lift_signed(self, coeffs):
         """Small signed int32 coefficients (..., phi) -> RNS residues."""
         coeffs = jnp.asarray(coeffs, jnp.int32)
@@ -377,6 +381,19 @@ class CyclotomicRing:
             out.append(m32.mont_mul32(
                 spec, p, jnp.full_like(p, jnp.uint32(spec.r2))))
         return jnp.stack(out, axis=-2)
+
+    def lift_words(self, words) -> jnp.ndarray:
+        """Signed 48-bit word planes (..., phi, W) int64 -> residues
+        (..., L, phi) — the ZKPoK word-form lift (exact, vectorized)."""
+        words = np.asarray(words)
+        res = []
+        for spec in self.q_specs:
+            acc = np.zeros(words.shape[:-1], dtype=np.int64)
+            for wdx in range(words.shape[-1]):
+                acc = (acc + (words[..., wdx] % spec.q)
+                       * pow(2, 48 * wdx, spec.q)) % spec.q
+            res.append(acc.astype(np.uint32))
+        return jnp.asarray(np.stack(res, axis=-2))
 
     def lift_object(self, arr) -> jnp.ndarray:
         """(..., phi) numpy object-int coefficients (any magnitude) ->

@@ -1,0 +1,246 @@
+"""Vectorized ZK proof of plaintext knowledge (word-form responses).
+
+The same amortized sigma protocol as the round-1 `zkpok_l` (commit to V
+masking encryptions, binary Fiat-Shamir challenge matrix W in {0,1}^(V x U),
+respond with z = y + W*m over the integers, verifier re-runs the encryption
+equation on the lifted responses) — but ALL big-integer math is replaced by
+a fixed 48-bit word-plane representation:
+
+  - a response vector is an int64 array (..., phi, W) of signed base-2^48
+    digits (lazy: digits may exceed 2^47 after accumulation; magnitudes stay
+    < 2^55 so int64 matmuls are exact);
+  - the prover's z = y + W @ m is ONE numpy int64 einsum per word plane —
+    no Python bigints at any phi;
+  - masking vectors are sampled as balanced digits, giving EXACTLY uniform
+    values in [-2^(48*W-1), 2^(48*W-1));
+  - lifting a word array into the ring's RNS is `ring.lift_words` (modular
+    weighted sum, vectorized).
+
+Soundness: 2^-V per proof (binary challenges; V defaults to 64 =
+`triplets_l.ZK_ROWS`).  Zero-knowledge slack: the masking bound B exceeds
+the witness contribution by >= 2^zk_sec.  Honest-verifier statistical
+distance <= U * bound / B <= 2^-zk_sec.  Reference analog:
+`mp-spdz-rs/src/fhe/keys.rs:55-100` (encrypt_and_prove / verify_proof).
+
+Works with both ring backends (`PowerfulRing` eval-form, prototype
+`CyclotomicRing`); the only ring surface used is lift_words /
+encrypt_with_randomness / add.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...algebra import limbs as lb
+from ...algebra.fields import SCALAR_FIELD
+from ...algebra.scalar import Scalar
+from .bgv_l import CiphertextL, encrypt_l, encrypt_with_randomness_l
+from .powerful import zk_word_counts
+
+L_MOD = SCALAR_FIELD.modulus
+W_PT = 6           # plaintext words: 16 x 16-bit limbs -> [3,3,3,3,3,1]
+_HALF_L = L_MOD // 2
+
+
+# ---------------------------------------------------------------------------
+# word-plane helpers
+# ---------------------------------------------------------------------------
+
+
+def scalar_to_words(pt: Scalar, centered: bool = True) -> np.ndarray:
+    """Scalar (...,) -> centered signed word planes (..., W_PT) int64."""
+    canon = np.asarray(jax.device_get(
+        lb.from_mont(SCALAR_FIELD, pt.limbs))).astype(np.int64)  # (16, ...)
+    groups = [canon[3 * w:3 * w + 3] for w in range(5)] + [canon[15:16]]
+    words = np.stack(
+        [sum(g[i] << (16 * i) for i in range(g.shape[0])) for g in groups],
+        axis=-1)  # (..., 6)
+    if centered:
+        # v > l/2 -> v - l (float64 classification: both branches satisfy
+        # the bound near the threshold, so rare misclassification is safe)
+        scale = np.float64(2.0) ** (48 * np.arange(W_PT))
+        approx = (words.astype(np.float64) * scale).sum(-1)
+        l_words = _int_to_words(L_MOD, W_PT)
+        words = np.where(approx[..., None] > float(_HALF_L), words - l_words,
+                         words)
+    return words
+
+
+def _int_to_words(v: int, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=np.int64)
+    for w in range(n):
+        out[w] = (v >> (48 * w)) & ((1 << 48) - 1)
+    return out
+
+
+def small_to_words(arr: np.ndarray) -> np.ndarray:
+    """Small signed ints (...,) -> single-word planes (..., 1)."""
+    return np.asarray(arr, dtype=np.int64)[..., None]
+
+
+def sample_balanced_words(rng, shape: tuple, n_words: int) -> np.ndarray:
+    """Uniform over [-2^(48n-1), 2^(48n-1)) as balanced base-2^48 digits
+    (independent digits in [-2^47, 2^47) == exactly uniform value)."""
+    n = int(np.prod(shape)) * n_words
+    raw = np.frombuffer(rng.bytes(8 * n), dtype=np.uint64).astype(np.int64)
+    digits = (raw & ((1 << 48) - 1)) - (1 << 47)
+    return digits.reshape(shape + (n_words,))
+
+
+def words_magnitude(words: np.ndarray) -> np.ndarray:
+    """Approximate |value| as float64 (relative error < 2^-50; used for
+    bound checks whose bounds already carry 2^zk_sec slack)."""
+    scale = np.float64(2.0) ** (48 * np.arange(words.shape[-1]))
+    return np.abs((words.astype(np.float64) * scale).sum(-1))
+
+
+# ---------------------------------------------------------------------------
+# the proof
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CiphertextWithProofW:
+    cts: CiphertextL    # (U, L, phi)
+    comm: CiphertextL   # (V, L, phi)
+    z: np.ndarray       # (V, phi, Wz) int64
+    zu: np.ndarray      # (V, phi, Wu)
+    ze0: np.ndarray
+    ze1: np.ndarray
+
+
+def _challenge(cts: CiphertextL, comm: CiphertextL, v: int, u: int):
+    h = hashlib.sha3_256()
+    for a in (cts.c0, cts.c1, comm.c0, comm.c1):
+        h.update(np.asarray(jax.device_get(a)).tobytes())
+    seed = h.digest()
+    bits, ctr = [], 0
+    while len(bits) < v * u:
+        d = hashlib.sha3_256(seed + ctr.to_bytes(4, "little")).digest()
+        for byte in d:
+            for j in range(8):
+                bits.append((byte >> j) & 1)
+        ctr += 1
+    return np.array(bits[: v * u], dtype=np.int64).reshape(v, u)
+
+
+def encrypt_and_prove_batch(ring, pk_a, pk_b, pt_coeff_list, key,
+                            v: int = 64, sec: int | None = None,
+                            host_rng=None) -> CiphertextWithProofW:
+    """Encrypt U plaintext-coefficient Scalars (phi,) and prove plaintext
+    knowledge, amortized over the batch."""
+    if host_rng is None:
+        from ...utils.csprng import default_crypto_rng
+
+        host_rng = default_crypto_rng()
+    sec = sec if sec is not None else getattr(ring, "zk_sec", 64)
+    u_count = len(pt_coeff_list)
+    phi = ring.phi
+    k = ring.cbd_k
+    wz, wu = zk_word_counts(sec, max(u_count, 2), k)
+
+    cts, raws = [], []
+    for pt in pt_coeff_list:
+        key, sub = jax.random.split(key)
+        ct, raw = encrypt_l(ring, pk_a, pk_b, pt, sub,
+                            return_randomness=True)
+        cts.append(ct)
+        raws.append(raw)
+    cts = CiphertextL(jnp.stack([c.c0 for c in cts]),
+                      jnp.stack([c.c1 for c in cts]))
+
+    m_words = np.stack([scalar_to_words(pt.reshape(phi))
+                        for pt in pt_coeff_list])           # (U, phi, 6)
+    u_words = np.stack([small_to_words(np.asarray(jax.device_get(r[0])))
+                        for r in raws])                     # (U, phi, 1)
+    e0_words = np.stack([small_to_words(np.asarray(jax.device_get(r[1])))
+                         for r in raws])
+    e1_words = np.stack([small_to_words(np.asarray(jax.device_get(r[2])))
+                         for r in raws])
+
+    y = sample_balanced_words(host_rng, (v, phi), wz)
+    su = sample_balanced_words(host_rng, (v, phi), wu)
+    se0 = sample_balanced_words(host_rng, (v, phi), wu)
+    se1 = sample_balanced_words(host_rng, (v, phi), wu)
+
+    comm = encrypt_with_randomness_l(
+        ring, pk_a, pk_b,
+        ring.lift_words(y), ring.lift_words(su),
+        ring.lift_words(se0), ring.lift_words(se1))
+
+    w = _challenge(cts, comm, v, u_count)                   # (V, U) binary
+
+    def respond(mask, witness, w_mask):
+        # (V, U) @ (U, phi, W) -> (V, phi, W), padded to the mask's width
+        acc = np.einsum("vu,upw->vpw", w, witness).astype(np.int64)
+        if acc.shape[-1] < w_mask:
+            acc = np.pad(acc, ((0, 0), (0, 0), (0, w_mask - acc.shape[-1])))
+        return mask + acc
+
+    return CiphertextWithProofW(
+        cts, comm,
+        respond(y, m_words, wz),
+        respond(su, u_words, wu),
+        respond(se0, e0_words, wu),
+        respond(se1, e1_words, wu),
+    )
+
+
+def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
+                 sec: int | None = None) -> bool:
+    sec = sec if sec is not None else getattr(ring, "zk_sec", 64)
+    v = proof.z.shape[0]
+    u_count = int(proof.cts.c0.shape[0])
+    k = ring.cbd_k
+    wz, wu = zk_word_counts(sec, max(u_count, 2), k)
+    if proof.z.shape[-1] != wz or proof.zu.shape[-1] != wu:
+        return False
+    b_y = 2.0 ** (48 * wz - 1)
+    b_u = 2.0 ** (48 * wu - 1)
+    eps = 1.0 + 2.0 ** -40
+    if words_magnitude(proof.z).max() > (b_y + u_count * float(_HALF_L)) * eps:
+        return False
+    if words_magnitude(proof.zu).max() > (b_u + u_count) * eps:
+        return False
+    if max(words_magnitude(proof.ze0).max(),
+           words_magnitude(proof.ze1).max()) > (b_u + u_count * k) * eps:
+        return False
+
+    w = _challenge(proof.cts, proof.comm, v, u_count)
+    lhs = encrypt_with_randomness_l(
+        ring, pk_a, pk_b,
+        ring.lift_words(proof.z), ring.lift_words(proof.zu),
+        ring.lift_words(proof.ze0), ring.lift_words(proof.ze1))
+    rhs0, rhs1 = proof.comm.c0, proof.comm.c1
+    w_dev = jnp.asarray(w)
+    for i in range(u_count):
+        sel = (w_dev[:, i] == 1)[:, None, None]
+        rhs0 = jnp.where(sel, ring.add(rhs0, proof.cts.c0[i][None]), rhs0)
+        rhs1 = jnp.where(sel, ring.add(rhs1, proof.cts.c1[i][None]), rhs1)
+    return bool(jnp.all(lhs.c0 == rhs0)) and bool(jnp.all(lhs.c1 == rhs1))
+
+
+# ---------------------------------------------------------------------------
+# wire serialization (plain numpy arrays; the messages codec handles dtypes)
+# ---------------------------------------------------------------------------
+
+
+def proof_to_arrays(proof: CiphertextWithProofW) -> list:
+    g = lambda x: np.asarray(jax.device_get(x))  # noqa: E731
+    return [g(proof.cts.c0), g(proof.cts.c1), g(proof.comm.c0),
+            g(proof.comm.c1), proof.z, proof.zu, proof.ze0, proof.ze1]
+
+
+def proof_from_arrays(items: list) -> CiphertextWithProofW:
+    c0, c1, a0, a1, z, zu, ze0, ze1 = items
+    return CiphertextWithProofW(
+        CiphertextL(jnp.asarray(c0), jnp.asarray(c1)),
+        CiphertextL(jnp.asarray(a0), jnp.asarray(a1)),
+        np.asarray(z, np.int64), np.asarray(zu, np.int64),
+        np.asarray(ze0, np.int64), np.asarray(ze1, np.int64),
+    )
