@@ -114,23 +114,23 @@ def _exchange_encryption_proven(transport: Transport, st: SetupL,
     enc(mac_key_share) (`setup.rs:13-32`).  Proving runs under OUR public
     key; verification under the PEER's."""
     from ...fabric import messages as _messages
-    from ..bgv.zkpok_l import (
-        encrypt_and_prove_batch_l,
-        proof_from_arrays_l,
-        proof_to_arrays_l,
-        verify_proof_l,
+    from ..bgv.zkpok_words import (
+        encrypt_and_prove_batch,
+        proof_from_arrays,
+        proof_to_arrays,
+        verify_proof,
     )
     from ..errors import KeyExchangeError
 
     ring = st.ring
     v = zk_rows or ZK_ROWS
-    proof = encrypt_and_prove_batch_l(
+    proof = encrypt_and_prove_batch(
         ring, st.keypair.pk_a, st.keypair.pk_b,
         [pt_coeffs], jkey, v=v, host_rng=rng)
-    frame = _messages.encode_arrays(proof_to_arrays_l(proof))
+    frame = _messages.encode_arrays(proof_to_arrays(proof))
     peer_items = _messages.decode_arrays(transport.exchange(frame))
-    peer = proof_from_arrays_l(peer_items, v, ring.phi)
-    if not verify_proof_l(ring, st.other_pk_a, st.other_pk_b, peer):
+    peer = proof_from_arrays(peer_items)
+    if not verify_proof(ring, st.other_pk_a, st.other_pk_b, peer):
         raise KeyExchangeError("peer's l-field ciphertext proof failed")
     return CiphertextL(peer.cts.c0[0], peer.cts.c1[0])
 
