@@ -94,11 +94,26 @@ class MpcFabric:
     def __init__(self, party_id: int, transport: Transport,
                  offline: PreprocessingPhase,
                  rng: np.random.Generator | None = None,
-                 collect_stats: bool = False):
+                 collect_stats: bool = False,
+                 mesh=None):
+        """`mesh`: optional `jax.sharding.Mesh` with a `batch` axis.  When
+        attached, share vectors are sharded over the party's chips end-to-end
+        (offline batches, input shares, opened values), Beaver rounds stay
+        element-wise per-chip with zero collectives, and the deferred MAC
+        check folds per-chip partial sums through ONE integer `psum`
+        (`parallel/step.py:sharded_rlc_fold`).  Opens gather once per round
+        for the wire.  This is the engine-property multi-chip path (SURVEY
+        §7 step 7); reference role: `fabric/executor/*` +
+        `network_sender.rs:97-173`."""
         assert party_id == transport.party_id
         self.party_id = party_id
         self.transport = transport
         self.offline = offline
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._shard1d = NamedSharding(mesh, P(None, "batch"))
         self.mac_key = offline.get_mac_key_share()
         if rng is None:
             from ..utils.csprng import default_crypto_rng
@@ -115,6 +130,23 @@ class MpcFabric:
         self._deferred: list[Scalar] = []
         self._deferred_points: list = []
         self.n_rounds = 0
+
+    # -- mesh placement ----------------------------------------------------
+    def _place(self, limbs):
+        """Shard a (16, n) limb array over the mesh `batch` axis (no-op
+        without a mesh or when n does not divide the mesh size)."""
+        if self.mesh is None:
+            return limbs
+        if limbs.ndim == 2 and limbs.shape[1] % self.mesh.size == 0:
+            return jax.device_put(limbs, self._shard1d)
+        return limbs
+
+    def _place_scalar(self, s: Scalar) -> Scalar:
+        return Scalar(self._place(s.limbs))
+
+    def _place_share(self, sh: ScalarShare) -> ScalarShare:
+        return ScalarShare(self._place_scalar(sh.share),
+                           self._place_scalar(sh.mac))
 
     def _timed(self, op: str, n: int = 0):
         if self.stats is None:
@@ -173,6 +205,8 @@ class MpcFabric:
             (raw,) = self.recv_arrays()
             masked = Scalar(jnp.asarray(raw))
             shape = masked.shape
+        mask_share = self._place_share(mask_share.reshape(mask_share.size))
+        masked = self._place_scalar(masked.reshape(masked.size))
         out = _input_share(self.party_id, mask_share, masked, self.mac_key)
         return out.reshape(*shape)
 
@@ -188,9 +222,10 @@ class MpcFabric:
         """Open shares without MAC check (`authenticated_scalar.rs:129-172`):
         one exchange of the share vector, one combine kernel."""
         with self._timed("open", x.size):
-            mine = np.asarray(jax.device_get(x.share.limbs))
+            mine = np.asarray(jax.device_get(x.share.limbs))  # mesh: gather
             (theirs,) = self._exchange_arrays([mine])
-            return _combine_open(x.share, Scalar(jnp.asarray(theirs)))
+            return _combine_open(x.share,
+                                 Scalar(self._place(jnp.asarray(theirs))))
 
     def open_authenticated(self, x: ScalarShare, defer: bool = False) -> Scalar:
         """Open and check MACs (`authenticated_scalar.rs:278-354`).
@@ -209,18 +244,67 @@ class MpcFabric:
             self._run_mac_check(flat)
         return value
 
-    def verify_deferred(self) -> None:
+    def verify_deferred(self, fold: bool | None = None) -> None:
         """Run ONE commit-reveal MAC check over every deferred open (and one
-        for deferred point opens, if any)."""
+        for deferred point opens, if any).
+
+        With `fold=True` (the default when a mesh is attached) the deferred
+        check values are first collapsed to ONE scalar by a public-coin
+        random linear combination — the SPDZ aggregated check (Damgard et
+        al. full version §3; reference folds per-batch,
+        `offline-phase mac_check.rs:14-29` style).  O(1) wire bytes instead
+        of O(n), and on a mesh the fold reduces per-chip partial sums with
+        one integer `psum` (`parallel/step.py:sharded_rlc_fold`)."""
         if self._deferred:
             d = self._deferred[0] if len(self._deferred) == 1 else \
                 Scalar.concatenate(self._deferred)
             self._deferred = []
-            self._run_mac_check(d)
+            if fold is None:
+                fold = self.mesh is not None
+            if fold:
+                self._run_mac_check_folded(d)
+            else:
+                self._run_mac_check(d)
         if self._deferred_points:
             from . import points as _points
 
             _points.verify_deferred_points(self)
+
+    def public_coin_rng(self):
+        """Jointly-seeded CSPRNG via commit-reveal seed exchange (3 small
+        rounds).  Neither party can bias the coin: each commits to its
+         32-byte seed contribution before either reveals
+        (`offline protocols.public_coin_scalars` analog for the online
+        fabric)."""
+        from ..utils.csprng import CSPRNG
+
+        mine = self.rng.bytes(32)
+        blinder = Scalar.random((), self.rng)
+        my_comm = commitment.commit_bytes(mine, blinder)
+        peer_comm = self.exchange_scalars(my_comm)
+        (peer_seed,) = self._exchange_arrays([bytes(mine)])
+        peer_blinder = self.exchange_scalars(blinder)
+        if not commitment.verify_bytes(bytes(peer_seed), peer_blinder,
+                                       peer_comm):
+            raise AuthenticationError(
+                "public coin commitment failed to verify")
+        seeds = ((mine, bytes(peer_seed)) if self.party_id == PARTY0
+                 else (bytes(peer_seed), mine))
+        return CSPRNG(b"ark-mpc-tpu/public-coin" + seeds[0] + seeds[1])
+
+    def _run_mac_check_folded(self, d: Scalar) -> None:
+        """Fold d to one scalar with public-coin coefficients (sampled AFTER
+        every d value is fixed), then one commit-reveal zero test."""
+        coin = self.public_coin_rng()
+        coeffs = Scalar.random(d.size, coin)
+        if self.mesh is not None and d.size % self.mesh.size == 0:
+            from ..parallel.step import sharded_rlc_fold
+
+            t = sharded_rlc_fold(self.mesh, self._place(d.limbs),
+                                 self._place(coeffs.limbs))
+        else:
+            t = (d * coeffs).sum()
+        self._run_mac_check(t.reshape(1))
 
     # -- curve-point protocols (`fabric/points.py`; lazy import to avoid
     # compiling curve kernels for scalar-only programs) --------------------
@@ -295,11 +379,25 @@ class MpcFabric:
         with self._timed("beaver_mul", n):
             xf, yf = x.reshape(n), y.reshape(n)
             a, b, c = self.offline.next_triplet_batch(n)
-            masked = _mask_lhs_rhs(xf, yf, a, b)
-            mine = np.asarray(jax.device_get(masked.limbs))
-            (theirs,) = self._exchange_arrays([mine])
-            opened = _combine_open(Scalar(masked.limbs), Scalar(jnp.asarray(theirs)))
-            d, e = opened[:n], opened[n:]
+            if self.mesh is not None and n % self.mesh.size == 0:
+                # Mesh path: keep (d, e) as separate sharded vectors (the
+                # concat+slice form would force a resharding collective).
+                # Still ONE coalesced frame each way per round.
+                a, b, c = (self._place_share(s) for s in (a, b, c))
+                dm = (xf - a).share
+                em = (yf - b).share
+                d_th, e_th = self._exchange_arrays([
+                    np.asarray(jax.device_get(dm.limbs)),
+                    np.asarray(jax.device_get(em.limbs))])
+                d = _combine_open(dm, Scalar(self._place(jnp.asarray(d_th))))
+                e = _combine_open(em, Scalar(self._place(jnp.asarray(e_th))))
+            else:
+                masked = _mask_lhs_rhs(xf, yf, a, b)
+                mine = np.asarray(jax.device_get(masked.limbs))
+                (theirs,) = self._exchange_arrays([mine])
+                opened = _combine_open(Scalar(masked.limbs),
+                                       Scalar(jnp.asarray(theirs)))
+                d, e = opened[:n], opened[n:]
             out = self._beaver_combine_dispatch(a, b, c, d, e)
             return out.reshape(*shape)
 
@@ -308,13 +406,30 @@ class MpcFabric:
         tile-aligned batches (VMEM-resident conv/REDC — scales past the XLA
         path's ~2^18 HBM-temp ceiling; see bench.py), XLA elsewhere."""
         n = d.size
-        if jax.default_backend() == "tpu" and n % 512 == 0:
+        per_shard = n // self.mesh.size if self.mesh is not None else n
+        if jax.default_backend() == "tpu" and per_shard % 512 == 0:
             from ..ops.fp_kernels import beaver_round_pallas
 
             key_b = jnp.broadcast_to(
                 self.mac_key.limbs.reshape(-1, 1), d.limbs.shape)
-            zs, zm = beaver_round_pallas(
-                Scalar.spec, self.party_id,
+
+            def run(a_s, a_m, b_s, b_m, c_s, c_m, d_l, e_l, k_l):
+                zs, zm = beaver_round_pallas(
+                    Scalar.spec, self.party_id,
+                    a_s, a_m, b_s, b_m, c_s, c_m, d_l, e_l, k_l)
+                return zs, zm
+
+            if self.mesh is not None and n % self.mesh.size == 0:
+                # shard_map the Pallas kernel: each chip runs the fused
+                # combine on its batch shard (no collectives).
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.step import _shard_map
+
+                sp = P(None, "batch")
+                run = _shard_map(run, mesh=self.mesh,
+                                 in_specs=(sp,) * 9, out_specs=(sp, sp))
+            zs, zm = run(
                 a.share.limbs, a.mac.limbs, b.share.limbs, b.mac.limbs,
                 c.share.limbs, c.mac.limbs, d.limbs, e.limbs, key_b)
             return ScalarShare(Scalar(zs), Scalar(zm))
@@ -335,7 +450,7 @@ class MpcFabric:
         Zero inputs map to zero output."""
         shape = x.shape
         n = x.size
-        r = self.offline.next_shared_value_batch(n)
+        r = self.random_shared_scalars(n)
         m = self.mul(x.reshape(n), r)
         m_open = self.open_authenticated(m, defer=defer_check)
         m_inv = m_open.inverse()
@@ -355,18 +470,21 @@ class MpcFabric:
             res = self.mul(res, x)
         return res
 
-    # -- offline sampling passthroughs (`fabric.rs:876-978`) ---------------
+    # -- offline sampling passthroughs (`fabric.rs:876-978`); batches land
+    # sharded when a mesh is attached ---------------------------------------
     def next_triple_batch(self, n: int):
-        return self.offline.next_triplet_batch(n)
+        return tuple(self._place_share(s)
+                     for s in self.offline.next_triplet_batch(n))
 
     def random_shared_scalars(self, n: int) -> ScalarShare:
-        return self.offline.next_shared_value_batch(n)
+        return self._place_share(self.offline.next_shared_value_batch(n))
 
     def random_inverse_pairs(self, n: int):
-        return self.offline.next_shared_inverse_pair_batch(n)
+        return tuple(self._place_share(s)
+                     for s in self.offline.next_shared_inverse_pair_batch(n))
 
     def random_shared_bits(self, n: int) -> ScalarShare:
-        return self.offline.next_shared_bit_batch(n)
+        return self._place_share(self.offline.next_shared_bit_batch(n))
 
     # -- constants (`fabric.rs:499-546`) -----------------------------------
     def zero_authenticated(self, shape=()) -> ScalarShare:

@@ -18,12 +18,14 @@ from .context import MpcFabric
 from .transport import LockstepTransport
 
 
-def execute_mock_mpc(f, offline_factory=None, seed: int | None = None):
+def execute_mock_mpc(f, offline_factory=None, seed: int | None = None,
+                     mesh=None):
     """Run `f(fabric)` for both parties in-process; return (res0, res1).
 
     `offline_factory(party_id) -> PreprocessingPhase` defaults to the
     reference's `PartyIDBeaverSource`.  Exceptions from either party
-    propagate (first one raised wins).
+    propagate (first one raised wins).  `mesh` attaches a device mesh to
+    both fabrics (share vectors sharded, psum-folded MAC checks).
     """
     if offline_factory is None:
         offline_factory = PartyIDBeaverSource
@@ -38,7 +40,8 @@ def execute_mock_mpc(f, offline_factory=None, seed: int | None = None):
         try:
             sched.acquire(pid)  # lockstep: party 1 waits for the baton
             rng = np.random.default_rng(1000 + pid if seed is None else seed + pid)
-            fabric = MpcFabric(pid, transports[pid], offline_factory(pid), rng=rng)
+            fabric = MpcFabric(pid, transports[pid], offline_factory(pid),
+                               rng=rng, mesh=mesh)
             results[pid] = f(fabric)
         except BaseException as e:  # noqa: BLE001 - surfaced to caller below
             errors[pid] = e
@@ -62,9 +65,10 @@ def execute_mock_mpc(f, offline_factory=None, seed: int | None = None):
     return results[0], results[1]
 
 
-def execute_mock_mpc_dealer(f, seed: int = 7):
+def execute_mock_mpc_dealer(f, seed: int = 7, mesh=None):
     """Mock MPC with randomized honest-dealer preprocessing
     (`mock_lowgear_with_triples` analog)."""
     return execute_mock_mpc(
-        f, offline_factory=lambda pid: TrustedDealerSource(pid, seed=seed)
+        f, offline_factory=lambda pid: TrustedDealerSource(pid, seed=seed),
+        mesh=mesh,
     )

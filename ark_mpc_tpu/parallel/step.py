@@ -135,6 +135,28 @@ def sharded_mul_mac_step(mesh: Mesh, party_id: int, x, y, a, b, c, d, e,
     return z, folded
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def sharded_rlc_fold(mesh: Mesh, t_limbs, coeff_limbs) -> Scalar:
+    """sum_i coeff_i * t_i over a batch-sharded (16, n) limb array: per-chip
+    modular partial sums, ONE integer `psum` of 16-bit limb columns (exact
+    for <= 2^16 chips), one Montgomery reduction.  The fabric's deferred
+    MAC check runs its random-linear-combination fold through this when a
+    mesh is attached (VERDICT round-1 item 4)."""
+    spec = SCALAR_FIELD
+
+    def local(t, cf):
+        r = lb.mont_mul(spec, t, cf)
+        part = Scalar(r).sum().limbs.reshape(NLIMBS, 1)
+        return jax.lax.psum(part, "batch")
+
+    cols = _shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "batch"), P(None, "batch")),
+        out_specs=P(None, None),
+    )(t_limbs, coeff_limbs)
+    return Scalar(lb.reduce_wide(spec, cols).reshape(NLIMBS))
+
+
 def _shard_map(f, mesh, in_specs, out_specs):
     # check_vma=False: the scan-form limb kernels build unvarying carry
     # inits inside the mapped function; the varying-axis inference check

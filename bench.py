@@ -76,6 +76,61 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def run_mesh_scaling(n_devices: int):
+    """BENCH_MESH=N: sharded-step scaling on N virtual CPU devices.
+
+    Times the full sharded protocol step (`sharded_mul_mac_step`: Beaver
+    combine + psum-folded MAC check) at mesh size 1 vs N over the same
+    per-chip batch, reporting mults/s/chip and weak-scaling efficiency
+    (BASELINE.md target row 4).  Virtual CPU devices share this host's
+    cores, so the absolute numbers are lower bounds; the point is that the
+    sharding compiles, executes, and the collective cost is visible."""
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
+
+    from __graft_entry__ import _example_batch
+    from ark_mpc_tpu.parallel.step import (
+        batch_sharding,
+        make_mesh,
+        replicate,
+        shard_share,
+        sharded_mul_mac_step,
+    )
+
+    per_chip = int(os.environ.get("BENCH_N", 1 << 12))
+    reps = int(os.environ.get("BENCH_ROUNDS", 8))
+    rates = {}
+    for nd in (1, n_devices):
+        mesh = make_mesh(nd)
+        n = per_chip * nd  # weak scaling: constant per-chip batch
+        x, y, a, b, c, d, e, key, coeffs = _example_batch(n)
+        sh = batch_sharding(mesh)
+        put = lambda s: type(s)(jax.device_put(s.limbs, sh))  # noqa: E731
+        x, y, a, b, c = (shard_share(v, mesh) for v in (x, y, a, b, c))
+        d, e, coeffs = put(d), put(e), put(coeffs)
+        key = replicate(key, mesh)
+        z, folded = sharded_mul_mac_step(mesh, 0, x, y, a, b, c, d, e,
+                                         key, coeffs)
+        jax.block_until_ready((z.share.limbs, folded.limbs))
+        t0 = time.time()
+        for _ in range(reps):
+            z, folded = sharded_mul_mac_step(mesh, 0, x, y, a, b, c, d, e,
+                                             key, coeffs)
+            jax.block_until_ready((z.share.limbs, folded.limbs))
+        dt = (time.time() - t0) / reps
+        rates[nd] = n / dt
+        log(f"mesh={nd}: {n} mults/step, {dt*1e3:.1f} ms/step -> "
+            f"{n/dt/1e6:.2f}M mults/s ({n/dt/nd/1e6:.2f}M /chip)")
+    eff = (rates[n_devices] / n_devices) / rates[1]
+    log(f"weak-scaling efficiency at {n_devices} virtual devices: {eff:.2f}")
+    print(json.dumps({
+        "metric": f"sharded_step_mults_per_sec_per_chip_{n_devices}dev",
+        "value": round(rates[n_devices] / n_devices, 1),
+        "unit": "mults/s/chip",
+        "vs_baseline": round(eff, 3),
+    }))
+
+
 def run_mega(n, rounds, key0, key1, x0, x1, y0, y1,
              a0, a1, b0, b1, c0, c1, coeffs):
     """Headline path: the VMEM-resident K-round chained Beaver mega-kernel
@@ -191,6 +246,9 @@ def run_mega(n, rounds, key0, key1, x0, x1, y0, y1,
 
 
 def main():
+    mesh_n = int(os.environ.get("BENCH_MESH", "0"))
+    if mesh_n:
+        return run_mesh_scaling(mesh_n)
     # Pallas path (default): 2^22 x 4 rounds = 2^24 total — the tiled
     # kernels keep conv/REDC temps in VMEM so batches scale to HBM capacity
     # (2^23 currently trips the dev tunnel's remote-compile helper).
