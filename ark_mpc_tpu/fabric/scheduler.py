@@ -38,7 +38,12 @@ _ids = itertools.count()
 
 @dataclass(eq=False)
 class _Node:
-    op: str  # input | add | sub | neg | mul_pub | add_pub | mul | inv | sum
+    # share ops:  input | add | sub | neg | mul_pub | add_pub | mul | inv
+    #             | sum | mul_pubv | add_pubv | sub_pubv | rsub_pubv
+    # point ops:  pinput | padd | psub | pneg | pmul_pub | pmul | psum
+    # public ops: open | pub_add | pub_sub | pub_mul | pub_neg | pub_c
+    #             | pub_fn
+    op: str
     deps: tuple
     payload: object = None
     shape: tuple = ()
@@ -64,6 +69,9 @@ class TracedShare:
     def __add__(self, other):
         if isinstance(other, Scalar):
             return self.tracer._mk("add_pub", (self,), other, self.shape)
+        if isinstance(other, TracedPublic):
+            return self.tracer._mk("add_pubv", (self, other), None,
+                                   self.shape)
         other = self._lift(other)
         if other is NotImplemented:
             return NotImplemented
@@ -74,6 +82,9 @@ class TracedShare:
     def __sub__(self, other):
         if isinstance(other, Scalar):
             return self.tracer._mk("add_pub", (self,), -other, self.shape)
+        if isinstance(other, TracedPublic):
+            return self.tracer._mk("sub_pubv", (self, other), None,
+                                   self.shape)
         other = self._lift(other)
         if other is NotImplemented:
             return NotImplemented
@@ -85,6 +96,9 @@ class TracedShare:
     def __mul__(self, other):
         if isinstance(other, Scalar):
             return self.tracer._mk("mul_pub", (self,), other, self.shape)
+        if isinstance(other, TracedPublic):
+            return self.tracer._mk("mul_pubv", (self, other), None,
+                                   self.shape)
         other = self._lift(other)
         if other is NotImplemented:
             return NotImplemented
@@ -96,6 +110,24 @@ class TracedShare:
     def inverse(self):
         return self.tracer._mk("inv", (self,), None, self.shape)
 
+    def pow(self, e: int) -> "TracedShare":
+        """Public-exponent power by square-and-multiply: the mul nodes land
+        on consecutive levels, so a BATCH of pows shares one Beaver round
+        per squaring step (the windowed form of `context.pow`)."""
+        e = int(e)
+        if e == 0:
+            return (self * Scalar.from_ints(0)) + Scalar.from_ints(1)
+        result, base = None, self
+        while e:
+            if e & 1:
+                result = base if result is None else result * base
+            e >>= 1
+            if e:
+                base = base * base
+        return result
+
+    __pow__ = pow
+
     def sum(self):
         return self.tracer._mk("sum", (self,), None, ())
 
@@ -105,10 +137,95 @@ class TracedShare:
 
 @dataclass(eq=False)
 class TracedOpen:
-    """Handle to a value that will be opened at flush time."""
+    """Handle to a value that will be opened at flush time.
+
+    `as_public()` turns the (future) opened value into a `TracedPublic`
+    usable in LATER traced computation — the reference fabric's arbitrary
+    dataflow through opens (`fabric.rs:820-870`).  Opens that feed later
+    levels flush mid-circuit at their communication level; terminal opens
+    still flush together once at the end."""
 
     source: TracedShare
     value: Scalar | None = None
+    node: object = None  # the "open" _Node, once as_public() materializes it
+
+    def as_public(self) -> "TracedPublic":
+        if self.node is None:
+            self.node = _Node("open", (self.source.node,), None,
+                              self.source.node.shape)
+        return TracedPublic(self.source.tracer, self.node,
+                            self.source.shape)
+
+
+class TracedPublic:
+    """Symbolic PUBLIC value inside a trace (an opened value or a function
+    of one).  All arithmetic is communication-free; `apply` lifts any
+    Scalar -> Scalar function (e.g. `Scalar.inverse`, prefix scans)."""
+
+    def __init__(self, tracer: "Tracer", node: _Node, shape: tuple):
+        self.tracer = tracer
+        self.node = node
+        self.shape = shape
+
+    def _lift(self, other):
+        if isinstance(other, TracedPublic):
+            return other
+        if isinstance(other, Scalar):
+            return TracedPublic(
+                self.tracer, _Node("pub_c", (), other, tuple(other.shape)),
+                other.shape)
+        return None
+
+    def __add__(self, other):
+        if isinstance(other, TracedShare):
+            return other + self
+        o = self._lift(other)
+        if o is None:
+            return NotImplemented
+        return TracedPublic(self.tracer,
+                            _Node("pub_add", (self.node, o.node), None,
+                                  self.node.shape), self.shape)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        if isinstance(other, TracedShare):
+            return self.tracer._mk("rsub_pubv", (other, self), None,
+                                   other.shape)
+        o = self._lift(other)
+        if o is None:
+            return NotImplemented
+        return TracedPublic(self.tracer,
+                            _Node("pub_sub", (self.node, o.node), None,
+                                  self.node.shape), self.shape)
+
+    def __neg__(self):
+        return TracedPublic(self.tracer,
+                            _Node("pub_neg", (self.node,), None,
+                                  self.node.shape), self.shape)
+
+    def __mul__(self, other):
+        if isinstance(other, TracedShare):
+            return other * self
+        o = self._lift(other)
+        if o is None:
+            return NotImplemented
+        return TracedPublic(self.tracer,
+                            _Node("pub_mul", (self.node, o.node), None,
+                                  self.node.shape), self.shape)
+
+    __rmul__ = __mul__
+
+    def apply(self, fn, shape=None) -> "TracedPublic":
+        """Arbitrary public post-processing of an opened value: `fn` maps
+        the concrete `Scalar` to a `Scalar` at flush time."""
+        shape = self.shape if shape is None else shape
+        return TracedPublic(self.tracer,
+                            _Node("pub_fn", (self.node,), fn, tuple(shape)),
+                            shape)
+
+    def inverse(self) -> "TracedPublic":
+        return self.apply(lambda s: s.inverse())
 
 
 class TracedPointShare:
@@ -193,70 +310,115 @@ class Tracer:
         run ONE deferred MAC check at the end (when `verify`)."""
         outputs = outputs or []
         roots = ([o.node for o in outputs]
-                 + [h.source.node for h in self.opens]
+                 + [(h.node or h.source.node) for h in self.opens]
                  + [h.source.node for h in self.point_opens])
 
         depth: dict[int, int] = {}
         order: list[_Node] = []
         seen: set[int] = set()
+        COMM = ("mul", "inv", "pmul", "open")
 
-        def visit(n: _Node):
+        # Iterative post-order traversal (the reference tests 1M-gate
+        # chains, `fabric.rs:986-1002`; recursion would blow the Python
+        # stack at ~1k depth).
+        stack: list[tuple[_Node, bool]] = [(r, False) for r in roots]
+        while stack:
+            n, ready = stack.pop()
+            if ready:
+                dd = max((depth[d.nid] for d in n.deps), default=0)
+                depth[n.nid] = dd + (1 if n.op in COMM else 0)
+                order.append(n)
+                continue
             if n.nid in seen:
-                return
+                continue
             seen.add(n.nid)
+            stack.append((n, True))
             for d in n.deps:
-                visit(d)
-            dd = max((depth[d.nid] for d in n.deps), default=0)
-            depth[n.nid] = dd + (1 if n.op in ("mul", "inv", "pmul") else 0)
-            order.append(n)
+                if d.nid not in seen:
+                    stack.append((d, False))
 
-        for r in roots:
-            visit(r)
-
-        values: dict[int, ScalarShare] = {}
+        values: dict[int, object] = {}
         max_depth = max(depth.values(), default=0)
 
-        def eval_local(n: _Node) -> ScalarShare:
-            """Evaluate communication-free nodes (memoized)."""
+        def apply_op(n: _Node, deps: list) -> object:
+            if n.op in ("input", "pinput"):
+                return n.payload
+            if n.op in ("add", "padd"):
+                return deps[0] + deps[1]
+            if n.op in ("sub", "psub"):
+                return deps[0] - deps[1]
+            if n.op in ("neg", "pneg"):
+                return -deps[0]
+            if n.op in ("mul_pub", "pmul_pub"):
+                return deps[0].mul_public(n.payload)
+            if n.op == "add_pub":
+                return deps[0].add_public(
+                    n.payload, self.fabric.mac_key, self.fabric.party_id)
+            if n.op in ("sum", "psum"):
+                return deps[0].sum()
+            # share (x) opened-public ops
+            if n.op == "mul_pubv":
+                return deps[0].mul_public(deps[1])
+            if n.op == "add_pubv":
+                return deps[0].add_public(
+                    deps[1], self.fabric.mac_key, self.fabric.party_id)
+            if n.op == "sub_pubv":
+                return deps[0].add_public(
+                    -deps[1], self.fabric.mac_key, self.fabric.party_id)
+            if n.op == "rsub_pubv":
+                return (-deps[0]).add_public(
+                    deps[1], self.fabric.mac_key, self.fabric.party_id)
+            # public-value ops (concrete Scalars at flush time)
+            if n.op == "pub_c":
+                return n.payload
+            if n.op == "pub_add":
+                return deps[0] + deps[1]
+            if n.op == "pub_sub":
+                return deps[0] - deps[1]
+            if n.op == "pub_neg":
+                return -deps[0]
+            if n.op == "pub_mul":
+                return deps[0] * deps[1]
+            if n.op == "pub_fn":
+                return n.payload(deps[0])
+            # mul/inv/pmul/open are flushed by the round loop
+            raise AssertionError(f"comm node {n.op} not yet flushed")
+
+        def eval_local(n: _Node):
+            """Evaluate communication-free nodes (memoized, iterative)."""
             if n.nid in values:
                 return values[n.nid]
-            deps = [eval_local(d) for d in n.deps]
-            if n.op == "input":
-                out = n.payload
-            elif n.op == "add":
-                out = deps[0] + deps[1]
-            elif n.op == "sub":
-                out = deps[0] - deps[1]
-            elif n.op == "neg":
-                out = -deps[0]
-            elif n.op == "mul_pub":
-                out = deps[0].mul_public(n.payload)
-            elif n.op == "add_pub":
-                out = deps[0].add_public(
-                    n.payload, self.fabric.mac_key, self.fabric.party_id
-                )
-            elif n.op == "sum":
-                out = deps[0].sum()
-            elif n.op == "pinput":
-                out = n.payload
-            elif n.op == "padd":
-                out = deps[0] + deps[1]
-            elif n.op == "psub":
-                out = deps[0] - deps[1]
-            elif n.op == "pneg":
-                out = -deps[0]
-            elif n.op == "pmul_pub":
-                out = deps[0].mul_public(n.payload)
-            elif n.op == "psum":
-                out = deps[0].sum()
-            else:  # mul/inv/pmul handled by the round loop
-                raise AssertionError(f"comm node {n.op} not yet flushed")
-            values[n.nid] = out
-            return out
+            st = [n]
+            while st:
+                cur = st[-1]
+                if cur.nid in values:
+                    st.pop()
+                    continue
+                pending = [d for d in cur.deps if d.nid not in values]
+                if pending:
+                    st.extend(pending)
+                    continue
+                st.pop()
+                values[cur.nid] = apply_op(
+                    cur, [values[d.nid] for d in cur.deps])
+            return values[n.nid]
 
         # round-by-round: batch ALL muls (and invs) of one depth level into
-        # single fused protocol calls
+        # single fused protocol calls; mid-circuit opens (materialized via
+        # `TracedOpen.as_public`) flush per level as ONE authenticated open
         for level in range(1, max_depth + 1):
+            mids = [n for n in order
+                    if n.op == "open" and depth[n.nid] == level]
+            if mids:
+                flat = [eval_local(n.deps[0]).reshape(_numel(n))
+                        for n in mids]
+                sizes = [s.size for s in flat]
+                opened = self.fabric.open_authenticated(
+                    ScalarShare.concatenate(flat), defer=True)
+                off = 0
+                for n, k in zip(mids, sizes):
+                    values[n.nid] = opened[off: off + k].reshape(*n.shape)
+                    off += k
             muls = [n for n in order if n.op == "mul" and depth[n.nid] == level]
             invs = [n for n in order if n.op == "inv" and depth[n.nid] == level]
             if muls:
@@ -298,18 +460,24 @@ class Tracer:
                     values[n.nid] = big[off : off + k]
                     off += k
 
-        # one coalesced open flush for everything requested
-        if self.opens:
+        # one coalesced open flush for everything still unopened (handles
+        # whose open node already flushed mid-circuit just read the value)
+        terminal = [h for h in self.opens
+                    if h.node is None or h.node.nid not in values]
+        for h in self.opens:
+            if h.node is not None and h.node.nid in values:
+                h.value = values[h.node.nid]
+        if terminal:
             flat = [
                 eval_local(h.source.node).reshape(_numel(h.source.node))
-                for h in self.opens
+                for h in terminal
             ]
             sizes = [s.size for s in flat]
             opened = self.fabric.open_authenticated(
                 ScalarShare.concatenate(flat), defer=True
             )
             off = 0
-            for h, k in zip(self.opens, sizes):
+            for h, k in zip(terminal, sizes):
                 h.value = opened[off : off + k].reshape(*h.source.shape)
                 off += k
         if self.point_opens:

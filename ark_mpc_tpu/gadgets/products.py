@@ -36,9 +36,18 @@ def _public_prefix_products(values: Scalar) -> Scalar:
     return Scalar(x)
 
 
-def prefix_product(fabric: MpcFabric, values: ScalarShare,
-                   defer_check: bool = False) -> ScalarShare:
-    """[v_1], ..., [v_n] -> [v_1], [v_1 v_2], ..., [prod v_i]."""
+def prefix_product(fabric: MpcFabric, values,
+                   defer_check: bool = False):
+    """[v_1], ..., [v_n] -> [v_1], [v_1 v_2], ..., [prod v_i].
+
+    Accepts a `TracedShare`: the blinded open flows through the tracer's
+    mid-circuit `as_public()` path and the public prefix scan runs at
+    flush time, so the gadget fuses with level-mates in a larger circuit.
+    """
+    from ..fabric.scheduler import TracedShare
+
+    if isinstance(values, TracedShare):
+        return _prefix_product_traced(values)
     n = values.size
     flat = values.reshape(n)
     b, b_inv = fabric.random_inverse_pairs(n + 1)
@@ -59,3 +68,20 @@ def prefix_product(fabric: MpcFabric, values: ScalarShare,
     ).mul_public(prefixes)
     out = fabric.mul(left, b_inv[1:])
     return out.reshape(*values.shape)
+
+
+def _prefix_product_traced(values):
+    """Traced prefix product: same blinded-open protocol, expressed as
+    traced nodes so its rounds fuse with the surrounding circuit and the
+    public prefix scan runs on the mid-circuit opened value."""
+    tracer = values.tracer
+    fabric = tracer.fabric
+    assert len(values.shape) == 1, "traced prefix_product expects a 1-D batch"
+    n = int(values.shape[0])
+    b, b_inv = fabric.random_inverse_pairs(n + 1)
+
+    blinded = (tracer.wrap(b_inv[:n]) * values) * tracer.wrap(b[1:])
+    prefixes = blinded.open().as_public().apply(_public_prefix_products)
+    left = tracer.wrap(ScalarShare(
+        b[0].share.broadcast_to((n,)), b[0].mac.broadcast_to((n,))))
+    return (left * prefixes) * tracer.wrap(b_inv[1:])

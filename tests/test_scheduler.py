@@ -104,3 +104,136 @@ def test_traced_point_circuit():
     s = want_pts.sum()
     sx, sy = s.to_affine()
     assert t0 == [(sx.to_int(), sy.to_int())]
+
+
+def test_traced_pow():
+    """Square-and-multiply power inside a trace; two pows of the same depth
+    share Beaver rounds."""
+    x, y = rng.randrange(L), rng.randrange(L)
+
+    def prog(fabric):
+        sx = fabric.share_values(
+            Scalar.from_ints([x, y]) if fabric.party_id == 0 else None,
+            sender=0, n=2)
+        tr = fabric.tracer()
+        v = tr.wrap(sx)
+        p13 = v.pow(13)
+        p1 = v ** 1
+        p0 = v ** 0
+        o13, o1, o0 = p13.open(), p1.open(), p0.open()
+        tr.run()
+        return o13.value.to_ints(), o1.value.to_ints(), o0.value.to_ints()
+
+    r0, r1 = execute_mock_mpc_dealer(prog)
+    want = ([pow(x, 13, L), pow(y, 13, L)], [x, y], [1, 1])
+    assert r0 == r1 == want
+
+
+def test_traced_open_reuse():
+    """Mid-circuit opened values feed LATER traced computation
+    (`fabric.rs:820-870` arbitrary dataflow through opens)."""
+    xs = [rng.randrange(L) for _ in range(3)]
+    ys = [rng.randrange(L) for _ in range(3)]
+
+    def prog(fabric):
+        sx = fabric.share_values(
+            Scalar.from_ints(xs) if fabric.party_id == 0 else None,
+            sender=0, n=3)
+        sy = fabric.share_values(
+            Scalar.from_ints(ys) if fabric.party_id == 1 else None,
+            sender=1, n=3)
+        tr = fabric.tracer()
+        x, y = tr.wrap(sx), tr.wrap(sy)
+        p = x * y
+        po = p.open()
+        pub = po.as_public()             # opened product as a public value
+        q = y * pub + x - pub            # share ops against the opened value
+        r = (pub * pub).inverse() * x    # public arithmetic + apply(inverse)
+        oq, orr = q.open(), r.open()
+        tr.run()
+        return po.value.to_ints(), oq.value.to_ints(), orr.value.to_ints()
+
+    (p0, q0, r0), (p1, q1, r1) = execute_mock_mpc_dealer(prog)
+    want_p = [(a * b) % L for a, b in zip(xs, ys)]
+    want_q = [(b * p + a - p) % L for a, b, p in zip(xs, ys, want_p)]
+    want_r = [pow(p * p, -1, L) * a % L for a, p in zip(xs, want_p)]
+    assert p0 == p1 == want_p
+    assert q0 == q1 == want_q
+    assert r0 == r1 == want_r
+
+
+def test_traced_gadgets():
+    """bit_xor and prefix_product accept TracedShare operands."""
+    from ark_mpc_tpu.gadgets import bit_xor, bit_xor_public, prefix_product
+
+    a_bits = [rng.randrange(2) for _ in range(4)]
+    b_bits = [rng.randrange(2) for _ in range(4)]
+    vals = [rng.randrange(1, L) for _ in range(4)]
+
+    def prog(fabric):
+        sa = fabric.share_values(
+            Scalar.from_ints(a_bits) if fabric.party_id == 0 else None,
+            sender=0, n=4)
+        sb = fabric.share_values(
+            Scalar.from_ints(b_bits) if fabric.party_id == 1 else None,
+            sender=1, n=4)
+        sv = fabric.share_values(
+            Scalar.from_ints(vals) if fabric.party_id == 0 else None,
+            sender=0, n=4)
+        tr = fabric.tracer()
+        ta, tb, tv = tr.wrap(sa), tr.wrap(sb), tr.wrap(sv)
+        x = bit_xor(fabric, ta, tb)
+        xp = bit_xor_public(fabric, ta, Scalar.from_ints(b_bits))
+        pp = prefix_product(fabric, tv)
+        ox, oxp, opp = x.open(), xp.open(), pp.open()
+        tr.run()
+        return (ox.value.to_ints(), oxp.value.to_ints(), opp.value.to_ints())
+
+    (x0, xp0, pp0), (x1, xp1, pp1) = execute_mock_mpc_dealer(prog)
+    want_x = [u ^ v for u, v in zip(a_bits, b_bits)]
+    want_pp, acc = [], 1
+    for v in vals:
+        acc = acc * v % L
+        want_pp.append(acc)
+    assert x0 == x1 == want_x
+    assert xp0 == xp1 == want_x
+    assert pp0 == pp1 == want_pp
+
+
+def test_deep_chain_one_million_gates():
+    """1M-gate linear chain (`fabric.rs:986-1002` analog): the iterative
+    traversal must not hit the Python recursion limit."""
+    def prog(fabric):
+        sx = fabric.share_values(
+            Scalar.from_ints([1]) if fabric.party_id == 0 else None,
+            sender=0, n=1)
+        tr = fabric.tracer()
+        x = tr.wrap(sx)
+        v = x
+        for _ in range(1_000_000):
+            v = v + x
+        o = v.open()
+        tr.run()
+        return o.value.to_ints()
+
+    r0, r1 = execute_mock_mpc_dealer(prog)
+    assert r0 == r1 == [1_000_001]
+
+
+def test_deep_mul_chain():
+    """A few hundred SEQUENTIAL Beaver levels through the tracer."""
+    def prog(fabric):
+        sx = fabric.share_values(
+            Scalar.from_ints([2]) if fabric.party_id == 0 else None,
+            sender=0, n=1)
+        tr = fabric.tracer()
+        v = tr.wrap(sx)
+        x = v
+        for _ in range(200):
+            v = v * x
+        o = v.open()
+        tr.run()
+        return o.value.to_ints()
+
+    r0, r1 = execute_mock_mpc_dealer(prog)
+    assert r0 == r1 == [pow(2, 201, L)]
