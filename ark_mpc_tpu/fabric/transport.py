@@ -208,21 +208,28 @@ class TcpTransport(Transport):
     """Cross-host transport; u64 length-prefixed frames over one TCP stream.
 
     Party 0 dials ("king" role, `network/quic.rs:121-149`), party 1 listens.
-    Uses the native C++ IO library when available, else python sockets.
+    TLS 1.3 is ON by default, mirroring the reference's TLS-over-QUIC with
+    a permissive verifier (`network/quic.rs:42-73`); pass `tls=False` for
+    plaintext.  The native C++ IO library is used automatically for the
+    plaintext path when built (see `ark_mpc_tpu.fabric.native_net`); the
+    TLS path uses python's ssl atop the same framing.
     """
 
     HEADER = struct.Struct("<Q")
 
-    def __init__(self, party_id: int, host: str, port: int, timeout: float = 60.0):
+    def __init__(self, party_id: int, host: str, port: int,
+                 timeout: float = 60.0, tls: bool = True):
         super().__init__(party_id)
         self._native = None
-        try:
-            from . import native_net
+        if not tls:
+            try:
+                from . import native_net
 
-            self._native = native_net.NativeConn(party_id, host, port, timeout)
-            return
-        except Exception:
-            self._native = None
+                self._native = native_net.NativeConn(
+                    party_id, host, port, timeout)
+                return
+            except Exception:
+                self._native = None
         if party_id == PARTY1:
             srv = socket.create_server((host, port))
             srv.settimeout(timeout)
@@ -245,6 +252,17 @@ class TcpTransport(Transport):
                         raise
                     _time.sleep(0.25)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        if tls:
+            from . import tls as _tls
+
+            # Listener (party 1) presents the ephemeral self-signed cert;
+            # dialer (party 0) connects with the permissive verifier.
+            if party_id == PARTY1:
+                ctx = _tls.server_context()
+                self.sock = ctx.wrap_socket(self.sock, server_side=True)
+            else:
+                ctx = _tls.client_context()
+                self.sock = ctx.wrap_socket(self.sock)
         self._rlock = threading.Lock()
         self._wlock = threading.Lock()
 
