@@ -20,6 +20,7 @@ our batch sizes — measured choice, revisit with a Pallas kernel).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -151,10 +152,27 @@ class CurvePoint:
 
     __rmul__ = __mul__
 
+    # Below this many points the ladder+tree-sum wins (the reference's
+    # serial-MSM cutoff analog, `curve.rs:34-39`); above it, the scan-based
+    # Pippenger (see `_msm_pippenger`).  Crossover measured in
+    # `benchmarks/msm.py` (see BASELINE.md "MSM" table).
+    MSM_PIPPENGER_CUTOFF = 128
+
     @staticmethod
     def msm(scalars: Scalar, points: "CurvePoint") -> "CurvePoint":
         """Multi-scalar multiplication: sum_i scalars[i] * points[i]
-        (`curve.rs:549-584` analog; batched ladder + tree-sum)."""
+        (`curve.rs:549-584` analog).
+
+        Small batches: batched ladder + log-depth tree-sum (253 sequential
+        double+add steps, fully vectorized over the batch).  Large batches:
+        TPU Pippenger — sort points by windowed digit and turn bucket
+        accumulation into `associative_scan` group prefix-sums (the
+        sort+segmented-scan MSM of the cuZK/sppark GPU lineage), which cuts
+        group-op WORK from ~506·n ladder steps to ~2·n·W scan adds."""
+        n = int(np.prod(scalars.shape)) if scalars.shape else 1
+        if n >= CurvePoint.MSM_PIPPENGER_CUTOFF:
+            return _msm_pippenger(
+                points.reshape(n).broadcast_to((n,)), scalars.reshape(n))
         prods = _scalar_mul(points, scalars)
         return prods.sum()
 
@@ -295,6 +313,158 @@ def _scalar_mul(point: CurvePoint, scalar: Scalar) -> CurvePoint:
 
     acc0 = CurvePoint.identity(shape)
     return jax.lax.fori_loop(0, nbits, body, acc0)
+
+
+def _scalar_digits(scalar: Scalar, c: int) -> jnp.ndarray:
+    """Split canonical scalars into W = 256/c unsigned c-bit window digits,
+    least-significant window first: returns (W, n) with
+    value = sum_w digits[w] * 2^(c*w).  c must divide 16."""
+    assert 16 % c == 0
+    canon = lb.from_mont(SCALAR_FIELD, scalar.limbs)  # (16, n) of 16-bit
+    k = 16 // c
+    mask = jnp.uint32((1 << c) - 1)
+    # digit (limb i, sub j) has weight 2^(16 i + c j) -> index i*k + j
+    parts = jnp.stack(
+        [(canon >> jnp.uint32(c * j)) & mask for j in range(k)], axis=1
+    )  # (16, k, n)
+    return parts.reshape((16 * k,) + canon.shape[1:])
+
+
+def _hs_prefix_scan(pt: CurvePoint, nsteps: int) -> CurvePoint:
+    """Inclusive group prefix-sum along the LAST batch axis by the
+    Hillis-Steele shift-and-add recurrence under `lax.fori_loop`: exactly
+    ONE group-add instantiation in the traced graph regardless of length
+    (`associative_scan` would unroll ~2n group adds — minutes of XLA
+    compile already at n=256 for 9-mul Edwards adds)."""
+    n = pt.shape[-1]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    ident = CurvePoint.identity(pt.shape)
+
+    def body(i, x: CurvePoint) -> CurvePoint:
+        k = jnp.int32(1) << i
+        idx = (pos - k) % n
+        rolled = CurvePoint(
+            *(BaseFelt(jnp.take(cc.limbs, idx, axis=-1))
+              for cc in x._coords()))
+        shifted = rolled.select(pos >= k, ident)
+        return x + shifted
+
+    return jax.lax.fori_loop(0, nsteps, body, pt)
+
+
+def _group_prefix_scan(pt: CurvePoint, chunk: int = 16) -> CurvePoint:
+    """Work-efficient inclusive prefix-sum along the last batch axis.
+
+    Recursive chunking: Hillis-Steele within length-`chunk` blocks (full
+    vector width, log2(chunk) iterations), recurse on the m = n/chunk
+    block totals, then one full-width add folds the exclusive block
+    offsets back in.  Work ~ n·(log2(chunk)+1)·(1 + 1/chunk + ...) group
+    adds; traced group-add instantiations ~ 2·log_chunk(n)."""
+    n = pt.shape[-1]
+    if n <= chunk:
+        return _hs_prefix_scan(pt, max(1, (n - 1).bit_length()))
+    m = -(-n // chunk)
+    if m * chunk != n:
+        pad = CurvePoint.identity(pt.shape[:-1] + (m * chunk - n,))
+        pt = CurvePoint.concatenate([pt, pad], axis=len(pt.shape) - 1)
+    blocks = pt.reshape(*pt.shape[:-1], m, chunk)
+    inner = _hs_prefix_scan(blocks, chunk.bit_length() - 1)
+    totals = inner[..., -1]  # (..., m) block sums
+    offs = _group_prefix_scan(totals, chunk)
+    # exclusive offsets: shift right by one block, first block = identity
+    offs = CurvePoint.concatenate(
+        [CurvePoint.identity(offs.shape[:-1] + (1,)), offs[..., :-1]],
+        axis=len(offs.shape) - 1)
+    out = inner + CurvePoint(
+        *(BaseFelt(cc.limbs[..., None]) for cc in offs._coords()))
+    out = out.reshape(*pt.shape[:-1], m * chunk)
+    return out[..., :n]
+
+
+def _group_suffix_scan(pt: CurvePoint, chunk: int = 16) -> CurvePoint:
+    """Inclusive suffix-sum along the last batch axis (reverse, scan,
+    reverse)."""
+    rev = CurvePoint(
+        *(BaseFelt(cc.limbs[..., ::-1]) for cc in pt._coords()))
+    s = _group_prefix_scan(rev, chunk)
+    return CurvePoint(
+        *(BaseFelt(cc.limbs[..., ::-1]) for cc in s._coords()))
+
+
+@partial(jax.jit, static_argnames=("c",))
+def _msm_pippenger(points: CurvePoint, scalars: Scalar,
+                   c: int = 8) -> CurvePoint:
+    """Sort + segmented-scan Pippenger MSM (flat 1-D batch).
+
+    Replaces serial bucket accumulation (`curve.rs:549-584`) — a scatter
+    pattern TPUs hate — with the GPU-lineage formulation (cuZK/sppark):
+
+      1. per window, sort point indices by their c-bit digit (`argsort` is
+         a cheap u32 bitonic sort; the gather is regular memory traffic);
+      2. one batched group prefix-sum over the sorted points, all W
+         windows at once (`_group_prefix_scan`: ~5·n·W group adds of full
+         vector width, O(log n) traced instantiations);
+      3. bucket sums = prefix differences at digit boundaries
+         (`searchsorted` + gather; complete Edwards formulas make the
+         empty-bucket case P - P = identity branch-free);
+      4. sum_d d·B_d via a suffix scan + log-depth tree sum;
+      5. Horner across windows under `lax.scan`: c doubles + 1 add per
+         window at width 1.
+
+    Work: ~5nW + O(2^c W) group adds vs the ladder's ~506·n doubles+adds;
+    at c=8 (W=32) that is ~3-5x fewer field muls, and the sequential
+    depth collapses from 506 dependent steps to ~(log2 n)·log_16(n) wide
+    steps plus the width-1 Horner tail."""
+    n = points.shape[0]
+    W = 256 // c
+    nb = (1 << c) - 1  # buckets 1..nb
+
+    digits = _scalar_digits(scalars, c)  # (W, n)
+    perm = jnp.argsort(digits, axis=1)
+    sorted_digits = jnp.take_along_axis(digits, perm, axis=1)
+
+    def gather_win(f: BaseFelt) -> BaseFelt:
+        lim = jnp.broadcast_to(f.limbs[:, None, :], (NLIMBS, W, n))
+        return BaseFelt(jnp.take_along_axis(lim, perm[None], axis=2))
+
+    pts = CurvePoint(*(gather_win(cc) for cc in points._coords()))  # (W, n)
+
+    pref = _group_prefix_scan(pts)
+    phat = CurvePoint.concatenate(
+        [CurvePoint.identity((W, 1)), pref], axis=1)  # phat[:, j] = sum of first j
+
+    # edges[w, d-1] = #elements with digit < d, for d = 1..2^c
+    dvals = jnp.arange(1, (1 << c) + 1, dtype=digits.dtype)
+    edges = jax.vmap(
+        lambda row: jnp.searchsorted(row, dvals, side="left"))(sorted_digits)
+    lo, hi = edges[:, :-1], edges[:, 1:]  # (W, nb) each
+
+    def take_idx(f: BaseFelt, idx) -> BaseFelt:
+        return BaseFelt(jnp.take_along_axis(
+            f.limbs, jnp.broadcast_to(idx[None], (NLIMBS,) + idx.shape),
+            axis=2))
+
+    buckets = (
+        CurvePoint(*(take_idx(cc, hi) for cc in phat._coords()))
+        - CurvePoint(*(take_idx(cc, lo) for cc in phat._coords()))
+    )  # (W, nb); B[w, d-1] = sum of points with digit d in window w
+
+    suffix = _group_suffix_scan(buckets)
+    # sum_d d*B_d = sum_k suffix_k: reuse the one-instantiation HS scan and
+    # read its last element rather than unrolling a log-depth tree sum.
+    win = _hs_prefix_scan(suffix, (nb - 1).bit_length())[..., -1]  # (W,)
+
+    # Horner across windows (top first) as a lax.scan so the traced graph
+    # stays O(1) in W: acc <- 2^c * acc + win[w].
+    xs = jax.tree_util.tree_map(
+        lambda l: jnp.moveaxis(l, 1, 0)[::-1], win)  # leaves (W, 16)
+
+    def horner(acc: CurvePoint, w: CurvePoint):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: a.double(), acc)
+        return acc + w, None
+
+    acc, _ = jax.lax.scan(horner, CurvePoint.identity(()), xs)
+    return acc
 
 
 @jax.jit

@@ -1,0 +1,94 @@
+"""MSM: batched ladder vs scan-based Pippenger, 2^8 .. 2^16 points.
+
+The reference benchmarks MSM via arkworks' chunked Pippenger
+(`benches/native_msm.rs:14-31`, serial cutoff `curve.rs:34-39`).  This
+records both our implementations so the `MSM_PIPPENGER_CUTOFF` crossover
+is a measured number (BASELINE.md "MSM" table).
+
+Run on TPU (default env) or CPU (`env PALLAS_AXON_POOL_IPS=
+JAX_PLATFORMS=cpu python benchmarks/msm.py SIZES=8,10`).
+"""
+
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+from ark_mpc_tpu.algebra.curve import CurvePoint, _msm_pippenger, _scalar_mul
+from ark_mpc_tpu.algebra.fields import SCALAR_FIELD
+from ark_mpc_tpu.algebra.scalar import Scalar
+
+L = SCALAR_FIELD.modulus
+SIZES = [int(s) for s in os.environ.get("SIZES", "8,10,12,14,16").split(",")]
+REPS = int(os.environ.get("REPS", "5"))
+
+
+def ladder_msm(pts, s):
+    return _scalar_mul(pts, s).sum()
+
+
+def bench(fn, *args):
+    """Per-call seconds with the per-dispatch tunnel RTT subtracted.
+
+    On the tunneled TPU, block_until_ready is acked optimistically, so
+    the session is first flipped to synchronous mode via device_get
+    (bench.py methodology) and every timed call is separately sync'd."""
+    out = fn(*args)
+    jax.device_get(out.X.limbs.ravel()[:1])
+    t0 = time.time()
+    for _ in range(REPS):
+        out = fn(*args)
+        jax.device_get(out.X.limbs.ravel()[:1])
+    return max((time.time() - t0) / REPS - RTT, 1e-9)
+
+
+rng = np.random.default_rng(1)
+print(f"backend={jax.default_backend()} reps={REPS}", file=sys.stderr)
+
+
+@jax.jit
+def _nop(x):
+    return x + 1
+
+
+_x = jax.numpy.zeros((8,), jax.numpy.uint32)
+jax.device_get(_nop(_x))  # compile + flip the tunnel to sync mode
+t0 = time.time()
+for _ in range(REPS):
+    jax.device_get(_nop(_x))
+RTT = (time.time() - t0) / REPS
+print(f"dispatch RTT baseline: {RTT*1e3:.1f} ms (subtracted below)",
+      file=sys.stderr)
+print(f"{'n':>8} {'ladder_ms':>12} {'pippenger_ms':>12} {'speedup':>8}",
+      file=sys.stderr)
+rows = []
+for logn in SIZES:
+    n = 1 << logn
+    ks = Scalar.from_ints(
+        [int(rng.integers(1, 2**63)) ** 4 % L for _ in range(n)])
+    # distinct points: cheap pseudo-random multiples of G
+    pts = CurvePoint.generator((n,)).mul(
+        Scalar.from_ints([(7 * i + 3) % L for i in range(1, n + 1)]))
+    jax.block_until_ready(pts.X.limbs)
+    tl = bench(ladder_msm, pts, ks)
+    tp = bench(_msm_pippenger, pts, ks)
+    rows.append({"n": n, "ladder_ms": round(tl * 1e3, 2),
+                 "pippenger_ms": round(tp * 1e3, 2),
+                 "speedup": round(tl / tp, 2)})
+    print(f"{n:>8} {tl*1e3:>12.2f} {tp*1e3:>12.2f} {tl/tp:>8.2f}",
+          file=sys.stderr)
+
+import json
+
+best = rows[-1]
+print(json.dumps({
+    "metric": "msm_points_per_sec",
+    "value": round(best["n"] / (min(best["ladder_ms"], best["pippenger_ms"]) / 1e3), 1),
+    "unit": "points/s",
+    "rows": rows,
+}))

@@ -103,3 +103,26 @@ def test_hash_to_curve_on_curve():
     # order-l subgroup: l * pt = identity
     z = pt.mul(Scalar.from_ints([0, 0]))  # 0*pt = identity sanity
     assert all(bool(b) for b in z.is_identity())
+
+
+def test_msm_pippenger():
+    """`CurvePoint.msm` above the cutoff routes to the sort+scan Pippenger
+    (`_msm_pippenger`); validate against the exact python-int model,
+    including zero scalars and repeated points."""
+    n = CurvePoint.MSM_PIPPENGER_CUTOFF + 12
+    ks = [rng.randrange(L) for _ in range(n)]
+    ks[0] = 0
+    ks[1] = L - 1
+    base = [ref_mul(rng.randrange(2, L), G) for _ in range(8)]
+    pts_int = [base[i % 8] for i in range(n)]  # repeats stress buckets
+    from ark_mpc_tpu.algebra.scalar import BaseFelt
+
+    pts = CurvePoint.from_affine(
+        BaseFelt.from_ints([p[0] for p in pts_int]),
+        BaseFelt.from_ints([p[1] for p in pts_int]),
+    )
+    got = CurvePoint.msm(Scalar.from_ints(ks), pts)
+    want = (0, 1)
+    for k, p in zip(ks, pts_int):
+        want = ref_add(want, ref_mul(k, p))
+    assert affine_ints(got.reshape(1)) == [want]
