@@ -124,6 +124,12 @@ class LockstepScheduler:
         self.turn = 0  # party currently allowed to run
         self.done = [False, False]
         self.failed = [False, False]
+        # deadlock fail-fast state: a protocol-order bug must surface
+        # immediately, not after the timeout (the reference's mock network
+        # fails fast on drop)
+        self.waiting = [False, False]
+        self.inboxes: list = [None, None]
+        self.deadlock = False
 
     def acquire(self, pid: int):
         with self.cond:
@@ -161,6 +167,7 @@ class LockstepTransport(Transport):
     def pair(cls):
         sched = LockstepScheduler()
         q01, q10 = [], []
+        sched.inboxes = [q10, q01]
         return (
             cls(PARTY0, q10, q01, sched),
             cls(PARTY1, q01, q10, sched),
@@ -171,14 +178,34 @@ class LockstepTransport(Transport):
 
     def _recv(self):
         sched = self._sched
+        pid, peer = self.party_id, 1 - self.party_id
         if not self._inbox:
-            sched.handoff(self.party_id)
             with sched.cond:
-                ok = sched.cond.wait_for(
-                    lambda: (sched.turn == self.party_id and self._inbox)
-                    or sched.done[1 - self.party_id],
-                    timeout=600,
-                )
+                # hand the baton to the peer and mark ourselves blocked
+                sched.turn = peer
+                sched.waiting[pid] = True
+                sched.cond.notify_all()
+
+                def ready():
+                    if sched.deadlock or sched.done[peer]:
+                        return True
+                    if sched.turn == pid and self._inbox:
+                        return True
+                    # both parties blocked on recv with nothing in flight:
+                    # a protocol-order bug — fail NOW, not at the timeout
+                    if (sched.waiting[peer] and not self._inbox
+                            and not sched.inboxes[peer]):
+                        sched.deadlock = True
+                        sched.cond.notify_all()
+                        return True
+                    return False
+
+                ok = sched.cond.wait_for(ready, timeout=600)
+                sched.waiting[pid] = False
+            if sched.deadlock:
+                raise ConnectionError(
+                    "lockstep deadlock: both parties blocked on recv with "
+                    "empty inboxes (protocol order mismatch)")
             if not ok:
                 raise ConnectionError("lockstep recv timed out")
             if not self._inbox:

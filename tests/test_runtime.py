@@ -61,3 +61,20 @@ def test_store_split_take_across_batches():
     rest = store.take(1)
     assert rest.share.to_ints() == [4]
     assert len(store) == 0
+
+
+def test_lockstep_deadlock_fails_fast():
+    """Both parties blocked on recv with empty inboxes is a protocol-order
+    bug; it must surface IMMEDIATELY, not after the lockstep timeout (the
+    reference's mock network fails fast on drop)."""
+    import time
+
+    from ark_mpc_tpu.fabric.simulator import execute_mock_mpc_dealer
+
+    def prog(fabric):
+        return fabric.transport.recv()  # nobody ever sends
+
+    t0 = time.time()
+    with pytest.raises(ConnectionError, match="deadlock"):
+        execute_mock_mpc_dealer(prog)
+    assert time.time() - t0 < 30, "deadlock detection took too long"
