@@ -181,11 +181,12 @@ def test_pow():
         sx = fabric.share_values(
             Scalar.from_ints([x]) if fabric.party_id == 0 else None, sender=0, n=1
         )
-        p = fabric.pow(sx, 13)
-        return fabric.open_authenticated(p).to_ints()
+        outs = [fabric.pow(sx, e) for e in (13, 1, 2, 0, 97)]
+        return fabric.open_authenticated(
+            ScalarShare.concatenate(outs)).to_ints()
 
     r0, r1 = execute_mock_mpc_dealer(prog)
-    assert r0 == r1 == [pow(x, 13, L)]
+    assert r0 == r1 == [pow(x, e, L) for e in (13, 1, 2, 0, 97)]
 
 
 def test_sum_and_inner_product():
