@@ -290,9 +290,15 @@ jax.tree_util.register_pytree_node(
 )
 
 
+_LADDER_UNROLL = 4  # bits per fori iteration: each while-loop round trip
+#                     costs ~0.4 ms at TPU dispatch granularity, so 256
+#                     iterations -> 64 (bits above 252 are always zero)
+
+
 @jax.jit
 def _scalar_mul(point: CurvePoint, scalar: Scalar) -> CurvePoint:
-    """MSB-first double-and-select ladder over the 253-bit scalar."""
+    """MSB-first double-and-select ladder, `_LADDER_UNROLL` bits per
+    `fori_loop` iteration (256 total; the canonical scalar is < 2^253)."""
     shape = jnp.broadcast_shapes(point.shape, scalar.shape)
     point = point.broadcast_to(shape)
     canon = lb.from_mont(SCALAR_FIELD, scalar.limbs)  # (16, *batch)
@@ -300,19 +306,20 @@ def _scalar_mul(point: CurvePoint, scalar: Scalar) -> CurvePoint:
         canon.reshape(canon.shape[:1] + (1,) * (len(shape) - len(scalar.shape)) + canon.shape[1:]),
         (NLIMBS,) + shape,
     )
-    nbits = SCALAR_FIELD.modulus.bit_length()  # 253
 
-    def body(i, acc: CurvePoint) -> CurvePoint:
-        bit_index = nbits - 1 - i
-        limb = jax.lax.dynamic_index_in_dim(canon, bit_index >> 4, axis=0,
-                                            keepdims=False)
-        bit = (limb >> (bit_index.astype(jnp.uint32) & 15)) & 1
-        acc = acc.double()
-        added = acc + point
-        return added.select(bit == 1, acc)
+    def body(j, acc: CurvePoint) -> CurvePoint:
+        for t in range(_LADDER_UNROLL):
+            bit_index = 255 - (_LADDER_UNROLL * j + t)
+            limb = jax.lax.dynamic_index_in_dim(
+                canon, bit_index >> 4, axis=0, keepdims=False)
+            bit = (limb >> (bit_index.astype(jnp.uint32) & 15)) & 1
+            acc = acc.double()
+            added = acc + point
+            acc = added.select(bit == 1, acc)
+        return acc
 
     acc0 = CurvePoint.identity(shape)
-    return jax.lax.fori_loop(0, nbits, body, acc0)
+    return jax.lax.fori_loop(0, 256 // _LADDER_UNROLL, body, acc0)
 
 
 def _scalar_digits(scalar: Scalar, c: int) -> jnp.ndarray:
@@ -332,24 +339,27 @@ def _scalar_digits(scalar: Scalar, c: int) -> jnp.ndarray:
 
 def _hs_prefix_scan(pt: CurvePoint, nsteps: int) -> CurvePoint:
     """Inclusive group prefix-sum along the LAST batch axis by the
-    Hillis-Steele shift-and-add recurrence under `lax.fori_loop`: exactly
-    ONE group-add instantiation in the traced graph regardless of length
-    (`associative_scan` would unroll ~2n group adds — minutes of XLA
-    compile already at n=256 for 9-mul Edwards adds)."""
+    Hillis-Steele shift-and-add recurrence, UNROLLED over the log2(n)
+    steps: shift amounts are static so each step is pad+slice (no gather)
+    and XLA fuses the whole step into flat vector code.  `nsteps` is
+    O(log n), so the traced graph stays small — `associative_scan` would
+    unroll ~2n group adds (minutes of XLA compile already at n=256 for
+    9-mul Edwards adds); a fori_loop would cost a per-iteration while-loop
+    round trip that dominates at TPU dispatch granularity."""
     n = pt.shape[-1]
     pos = jnp.arange(n, dtype=jnp.int32)
     ident = CurvePoint.identity(pt.shape)
-
-    def body(i, x: CurvePoint) -> CurvePoint:
-        k = jnp.int32(1) << i
-        idx = (pos - k) % n
+    x = pt
+    for i in range(nsteps):
+        k = 1 << i
+        if k >= n:
+            break
         rolled = CurvePoint(
-            *(BaseFelt(jnp.take(cc.limbs, idx, axis=-1))
+            *(BaseFelt(jnp.roll(cc.limbs, k, axis=-1))
               for cc in x._coords()))
         shifted = rolled.select(pos >= k, ident)
-        return x + shifted
-
-    return jax.lax.fori_loop(0, nsteps, body, pt)
+        x = x + shifted
+    return x
 
 
 def _group_prefix_scan(pt: CurvePoint, chunk: int = 16) -> CurvePoint:
@@ -460,7 +470,8 @@ def _msm_pippenger(points: CurvePoint, scalars: Scalar,
         lambda l: jnp.moveaxis(l, 1, 0)[::-1], win)  # leaves (W, 16)
 
     def horner(acc: CurvePoint, w: CurvePoint):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: a.double(), acc)
+        for _ in range(c):  # static unroll: one fused kernel per step
+            acc = acc.double()
         return acc + w, None
 
     acc, _ = jax.lax.scan(horner, CurvePoint.identity(()), xs)
@@ -477,18 +488,20 @@ def _mul_by_order(point: CurvePoint) -> CurvePoint:
         jnp.asarray(lb.int_to_limbs(SCALAR_FIELD.modulus),
                     jnp.uint32).reshape((NLIMBS,) + (1,) * len(shape)),
         (NLIMBS,) + shape)
-    nbits = SCALAR_FIELD.modulus.bit_length()
 
-    def body(i, acc: CurvePoint) -> CurvePoint:
-        bit_index = nbits - 1 - i
-        limb = jax.lax.dynamic_index_in_dim(canon, bit_index >> 4, axis=0,
-                                            keepdims=False)
-        bit = (limb >> (bit_index.astype(jnp.uint32) & 15)) & 1
-        acc = acc.double()
-        added = acc + point
-        return added.select(bit == 1, acc)
+    def body(j, acc: CurvePoint) -> CurvePoint:
+        for t in range(_LADDER_UNROLL):
+            bit_index = 255 - (_LADDER_UNROLL * j + t)
+            limb = jax.lax.dynamic_index_in_dim(
+                canon, bit_index >> 4, axis=0, keepdims=False)
+            bit = (limb >> (bit_index.astype(jnp.uint32) & 15)) & 1
+            acc = acc.double()
+            added = acc + point
+            acc = added.select(bit == 1, acc)
+        return acc
 
-    return jax.lax.fori_loop(0, nbits, body, CurvePoint.identity(shape))
+    return jax.lax.fori_loop(0, 256 // _LADDER_UNROLL, body,
+                             CurvePoint.identity(shape))
 
 
 def hash_to_curve(data: bytes, n: int = 1) -> CurvePoint:
