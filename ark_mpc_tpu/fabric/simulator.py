@@ -52,8 +52,15 @@ def execute_mock_mpc(f, offline_factory=None, seed: int | None = None,
     threads = [threading.Thread(target=run, args=(pid,), daemon=True) for pid in (0, 1)]
     for t in threads:
         t.start()
+    import os
+
+    timeout = float(os.environ.get("ARK_MPC_MOCK_TIMEOUT", "900"))
     for t in threads:
-        t.join(timeout=900)
+        t.join(timeout=timeout)
+    if any(t.is_alive() for t in threads):
+        raise TimeoutError(
+            f"mock MPC did not finish within {timeout:.0f}s "
+            "(raise ARK_MPC_MOCK_TIMEOUT for long benches)")
     # Prefer the root-cause error: a party that died mid-protocol makes the
     # peer fail with a secondary ConnectionError.
     real = [e for e in errors if e is not None and not isinstance(e, ConnectionError)]

@@ -1,0 +1,116 @@
+"""Online-phase benchmark suite: the reference's remaining criterion
+harnesses, TPU-native.
+
+  gate_throughput        — add-gate chain evaluated through the tracer,
+                           no communication (`benches/gate_throughput.rs:
+                           56-105`: serial executor + NoRecvNetwork).
+  circuit_msm_throughput — authenticated in-circuit MSM over mock MPC
+                           (`benches/circuit_msm_throughput.rs:12-45`).
+  scalar_serialization   — Scalar <-> bytes round-trips
+                           (`benches/scalar_serialization.rs:8-50`).
+
+`bench.py` (circuit_mul_throughput / batch_ops) and `benchmarks/msm.py`
+(native_msm) cover the rest; the executor `growable_buffer` bench has no
+analog by design (batch arrays replace the result slab).
+
+Env: GATES=100,1000,100000  MSM_SIZES=100,1000,10000  SER_N=4096
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+
+def bench_gate_throughput(results):
+    from ark_mpc_tpu.fabric.context import MpcFabric
+    from ark_mpc_tpu.fabric.transport import NoRecvTransport
+    from ark_mpc_tpu.offline.base import PartyIDBeaverSource
+    from ark_mpc_tpu.algebra.scalar import Scalar
+
+    fabric = MpcFabric(0, NoRecvTransport(), PartyIDBeaverSource(0))
+    sizes = [int(s) for s in os.environ.get("GATES", "100,1000,100000").split(",")]
+    share = fabric.share_public(Scalar.from_ints([1]))
+    for n_gates in sizes:
+        tr = fabric.tracer()
+        x = tr.wrap(share)
+        t0 = time.time()
+        v = x
+        for _ in range(n_gates):
+            v = v + x
+        tr.run(outputs=[v])
+        dt = time.time() - t0
+        results.append({"bench": "gate_throughput", "gates": n_gates,
+                        "gates_per_sec": round(n_gates / dt, 1)})
+        print(f"gate_throughput {n_gates}: {n_gates/dt:,.0f} gates/s",
+              file=sys.stderr, flush=True)
+
+
+def bench_circuit_msm(results):
+    from ark_mpc_tpu.algebra.curve import CurvePoint
+    from ark_mpc_tpu.algebra.scalar import Scalar
+    from ark_mpc_tpu.fabric.simulator import execute_mock_mpc_dealer
+
+    sizes = [int(s) for s in os.environ.get("MSM_SIZES", "100,1000,10000").split(",")]
+    for n in sizes:
+        def prog(fabric, n=n):
+            ks = fabric.random_shared_scalars(n)
+            pts = fabric.share_points(
+                CurvePoint.generator((n,)).mul(
+                    Scalar.from_ints([(3 * i + 1) % 2**61
+                                      for i in range(n)]))
+                if fabric.party_id == 0 else None, sender=0, n=n)
+            t0 = time.time()
+            out = fabric.msm(ks, pts)
+            jax.block_until_ready(out.share.X.limbs)
+            return time.time() - t0
+
+        d0, d1 = execute_mock_mpc_dealer(prog)
+        dt = max(d0, d1)
+        results.append({"bench": "circuit_msm_throughput", "n": n,
+                        "points_per_sec": round(n / dt, 1)})
+        print(f"circuit_msm {n}: {n/dt:,.0f} points/s ({dt*1e3:.0f} ms)",
+              file=sys.stderr, flush=True)
+
+
+def bench_scalar_serialization(results):
+    from ark_mpc_tpu.algebra.scalar import Scalar
+
+    n = int(os.environ.get("SER_N", "4096"))
+    rng = np.random.default_rng(3)
+    vals = Scalar.random(n, rng)
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        data = vals.to_bytes_le()
+        back = Scalar.from_bytes_le(data)
+    dt = (time.time() - t0) / reps
+    assert back.to_ints() == vals.to_ints()
+    results.append({"bench": "scalar_serialization", "n": n,
+                    "roundtrips_per_sec": round(n / dt, 1)})
+    print(f"scalar_serialization: {n/dt:,.0f} roundtrips/s",
+          file=sys.stderr, flush=True)
+
+
+def main():
+    print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
+    results = []
+    bench_gate_throughput(results)
+    bench_scalar_serialization(results)
+    bench_circuit_msm(results)
+    gate = next(r for r in results if r["bench"] == "gate_throughput"
+                and r["gates"] == max(int(s) for s in
+                                      os.environ.get("GATES", "100,1000,100000").split(",")))
+    print(json.dumps({"metric": "gate_throughput",
+                      "value": gate["gates_per_sec"], "unit": "gates/s",
+                      "rows": results}))
+
+
+if __name__ == "__main__":
+    main()
