@@ -66,6 +66,8 @@ def bench_circuit_msm(results):
                     Scalar.from_ints([(3 * i + 1) % 2**61
                                       for i in range(n)]))
                 if fabric.party_id == 0 else None, sender=0, n=n)
+            out = fabric.msm(ks, pts)  # warmup: compile everything
+            jax.block_until_ready(out.share.X.limbs)
             t0 = time.time()
             out = fabric.msm(ks, pts)
             jax.block_until_ready(out.share.X.limbs)
