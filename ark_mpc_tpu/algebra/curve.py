@@ -144,7 +144,16 @@ class CurvePoint:
                             zip(self._coords(), other._coords())))
 
     def mul(self, scalar: Scalar) -> "CurvePoint":
-        """Variable-base scalar multiplication, batched MSB-first ladder."""
+        """Variable-base scalar multiplication.
+
+        TPU: the whole 256-step ladder runs inside ONE Pallas kernel with
+        VMEM-resident coordinates (`ops/curve_kernels.py`) — the XLA
+        ladder's ~500 dependent group ops are launch-overhead-bound and
+        compile slowly at large widths.  CPU: batched XLA ladder."""
+        if jax.default_backend() == "tpu":
+            from ..ops.curve_kernels import scalar_mul_pallas
+
+            return scalar_mul_pallas(self, scalar)
         return _scalar_mul(self, scalar)
 
     def __mul__(self, scalar: Scalar) -> "CurvePoint":
@@ -168,8 +177,19 @@ class CurvePoint:
         TPU Pippenger — sort points by windowed digit and turn bucket
         accumulation into `associative_scan` group prefix-sums (the
         sort+segmented-scan MSM of the cuZK/sppark GPU lineage), which cuts
-        group-op WORK from ~506·n ladder steps to ~2·n·W scan adds."""
+        group-op WORK from ~506·n ladder steps to ~2·n·W scan adds.
+
+        TPU: the Pallas ladder mega-kernel + tree sum wins at every
+        measured size (one kernel launch and a ~20 s compile vs the XLA
+        paths' per-group-op launch overhead and tens-of-minutes compiles
+        at large n — BASELINE.md 'MSM' table), so it is the TPU path."""
         n = int(np.prod(scalars.shape)) if scalars.shape else 1
+        if jax.default_backend() == "tpu":
+            from ..ops.curve_kernels import scalar_mul_pallas
+
+            prods = scalar_mul_pallas(
+                points.reshape(n).broadcast_to((n,)), scalars.reshape(n))
+            return prods.sum()
         if n >= CurvePoint.MSM_PIPPENGER_CUTOFF:
             return _msm_pippenger(
                 points.reshape(n).broadcast_to((n,)), scalars.reshape(n))
@@ -238,6 +258,10 @@ class CurvePoint:
     def is_in_prime_subgroup(self):
         """l * P == identity (l = the prime group order): combined with
         `is_on_curve` this is full arkworks-style validation."""
+        if jax.default_backend() == "tpu":
+            from ..ops.curve_kernels import mul_by_order_pallas
+
+            return mul_by_order_pallas(self).is_identity()
         return _mul_by_order(self).is_identity()
 
     def compress(self) -> bytes:

@@ -1,0 +1,179 @@
+"""Pallas mega-kernel for Ed25519 scalar multiplication.
+
+The XLA ladder (`algebra/curve.py:_scalar_mul`) runs ~500 dependent group
+ops per scalar-mul, each lowered to many small kernels — at TPU dispatch
+granularity that is launch-overhead-bound (~0.2 ms per group op measured,
+independent of batch width).  This kernel runs the ENTIRE 256-step
+double-and-select ladder inside one `pallas_call`: a (16, BLOCK) tile of
+each extended coordinate stays VMEM-resident for all 256 steps (the same
+structure as the `beaver_chain_pallas` headline kernel), so the cost is
+pure field-mul arithmetic: 256 steps x ~17 base-field muls per step.
+
+Reference analog: `curve.rs:546-584` scalar_mul/MSM; the bucketed
+Pippenger alternative is `algebra/curve.py:_msm_pippenger` — see
+`benchmarks/msm.py` and BASELINE.md for the measured comparison.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..algebra import limbs as lb
+from ..algebra.fields import BASE_FIELD, SCALAR_FIELD
+from ..algebra.limbs import NLIMBS
+from .fp_kernels import _add_mod, _interpret, _sub_mod
+
+BLOCK = 512
+
+# Edwards 2d = 2 * (-121665/121666) mod 2^255-19, as 16-bit limbs (the
+# base field is pseudo-Mersenne: internal form == canonical form).
+_P = (1 << 255) - 19
+_ED_2D = (2 * (-121665 * pow(121666, -1, _P))) % _P
+_ED_2D_LIMBS = tuple((_ED_2D >> (16 * i)) & 0xFFFF for i in range(NLIMBS))
+
+
+def _bmul(x, y):
+    """Base-field product on a tile (pseudo-Mersenne fold, all in VMEM)."""
+    return lb._pm_fold(BASE_FIELD, [r for r in lb._conv_columns(x, y)])
+
+
+def _double(B, x, y, z, t):
+    a = _bmul(x, x)
+    b = _bmul(y, y)
+    zz = _bmul(z, z)
+    c = _add_mod(B, zz, zz)
+    h = _add_mod(B, a, b)
+    xy = _add_mod(B, x, y)
+    e = _sub_mod(B, h, _bmul(xy, xy))
+    g = _sub_mod(B, a, b)
+    f = _add_mod(B, c, g)
+    return _bmul(e, f), _bmul(g, h), _bmul(f, g), _bmul(e, h)
+
+
+def _padd(B, x1, y1, z1, t1, x2, y2, z2, t2, d2):
+    a = _bmul(_sub_mod(B, y1, x1), _sub_mod(B, y2, x2))
+    b = _bmul(_add_mod(B, y1, x1), _add_mod(B, y2, x2))
+    c = _bmul(_bmul(t1, t2), d2)
+    dd = _bmul(z1, z2)
+    dd = _add_mod(B, dd, dd)
+    e = _sub_mod(B, b, a)
+    f = _sub_mod(B, dd, c)
+    g = _add_mod(B, dd, c)
+    h = _add_mod(B, b, a)
+    return _bmul(e, f), _bmul(g, h), _bmul(f, g), _bmul(e, h)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def ladder_pallas(canon, px, py, pz, pt, block: int = BLOCK):
+    """Batch scalar-mul: canon (16, n) CANONICAL scalar limbs, p* (16, n)
+    extended point coords; n % block == 0.  Returns (x, y, z, t)."""
+    n = canon.shape[1]
+    assert n % block == 0, f"n must be a multiple of {block}"
+    B = BASE_FIELD
+
+    def kernel(s_r, x_r, y_r, z_r, t_r, ox, oy, oz, ot):
+        canon_t = s_r[...]
+        P = (x_r[...], y_r[...], z_r[...], t_r[...])
+        w = canon_t.shape[1]
+        zero = jnp.zeros((NLIMBS, w), jnp.uint32)
+        one = jnp.concatenate(
+            [jnp.ones((1, w), jnp.uint32), jnp.zeros((NLIMBS - 1, w), jnp.uint32)], 0)
+        # build the 2d constant from python scalars (a closed-over array
+        # would trip pallas' captured-constant check)
+        d2 = jnp.concatenate(
+            [jnp.full((1, w), v, jnp.uint32) for v in _ED_2D_LIMBS], 0)
+
+        def body(i, acc):
+            bit_index = 255 - i
+            li = bit_index >> 4
+            sh = (bit_index & 15).astype(jnp.uint32)
+            row = canon_t[0]
+            for r in range(1, NLIMBS):
+                row = jnp.where(li == r, canon_t[r], row)
+            bit = ((row >> sh) & 1) == 1  # (w,)
+            dx, dy, dz, dt_ = _double(B, *acc)
+            ax, ay, az, at_ = _padd(B, dx, dy, dz, dt_, *P, d2)
+            sel = bit[None, :]
+            return (jnp.where(sel, ax, dx), jnp.where(sel, ay, dy),
+                    jnp.where(sel, az, dz), jnp.where(sel, at_, dt_))
+
+        x, y, z, t = jax.lax.fori_loop(0, 256, body, (zero, one, one, zero))
+        ox[...] = x
+        oy[...] = y
+        oz[...] = z
+        ot[...] = t
+
+    tile = pl.BlockSpec((NLIMBS, block), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((NLIMBS, n), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[tile] * 5,
+        out_specs=(tile, tile, tile, tile),
+        out_shape=(out, out, out, out),
+        interpret=_interpret(),
+    )(canon, px, py, pz, pt)
+
+
+def mul_by_order_pallas(point, block: int = BLOCK):
+    """l * P via the mega-kernel (the prime-subgroup check hot path:
+    `fabric/points.py` validates every point received off the wire)."""
+    from ..algebra.curve import CurvePoint
+
+    shape = point.shape
+    n = 1
+    for s in shape:
+        n *= int(s)
+    n = max(n, 1)
+    pt = point.reshape(n)
+    order = SCALAR_FIELD.modulus
+    canon = jnp.broadcast_to(
+        jnp.asarray([(order >> (16 * i)) & 0xFFFF for i in range(NLIMBS)],
+                    jnp.uint32)[:, None], (NLIMBS, n))
+    pad = (-n) % block
+    if pad:
+        def padc(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((NLIMBS, pad), jnp.uint32)], axis=1)
+        x, y, z, t = ladder_pallas(padc(canon), *(padc(c.limbs)
+                                                  for c in pt._coords()),
+                                   block=block)
+    else:
+        x, y, z, t = ladder_pallas(canon, *(c.limbs for c in pt._coords()),
+                                   block=block)
+    out = CurvePoint(*(type(pt.X)(a[:, :n]) for a in (x, y, z, t)))
+    return out.reshape(*shape) if shape else out.reshape()
+
+
+def scalar_mul_pallas(point, scalar, block: int = BLOCK):
+    """`CurvePoint.mul` via the mega-kernel: broadcasts, flattens, pads to
+    a block multiple, and reshapes back.  Use on TPU; the XLA ladder stays
+    the CPU path (the Pallas interpreter is far slower than XLA there)."""
+    from ..algebra.curve import CurvePoint
+
+    shape = jnp.broadcast_shapes(point.shape, scalar.shape)
+    n = 1
+    for s in shape:
+        n *= int(s)
+    pt = point.broadcast_to(shape).reshape(n)
+    sc = scalar.broadcast_to(shape).reshape(n)
+    canon = lb.from_mont(SCALAR_FIELD, sc.limbs)
+    pad = (-n) % block
+    if pad:
+        def padc(a):
+            return jnp.concatenate(
+                [a, jnp.zeros((NLIMBS, pad), jnp.uint32)], axis=1)
+        canon_p = padc(canon)
+        coords = [padc(c.limbs) for c in pt._coords()]
+    else:
+        canon_p = canon
+        coords = [c.limbs for c in pt._coords()]
+    x, y, z, t = ladder_pallas(canon_p, *coords, block=block)
+    out = CurvePoint(*(type(pt.X)(a[:, :n]) for a in (x, y, z, t)))
+    return out.reshape(*shape) if shape else out.reshape()

@@ -32,6 +32,12 @@ def ladder_msm(pts, s):
     return _scalar_mul(pts, s).sum()
 
 
+def pallas_msm(pts, s):
+    from ark_mpc_tpu.ops.curve_kernels import scalar_mul_pallas
+
+    return scalar_mul_pallas(pts, s).sum()
+
+
 def bench(fn, *args):
     """Per-call seconds with the per-dispatch tunnel RTT subtracted.
 
@@ -64,7 +70,11 @@ for _ in range(REPS):
 RTT = (time.time() - t0) / REPS
 print(f"dispatch RTT baseline: {RTT*1e3:.1f} ms (subtracted below)",
       file=sys.stderr)
-print(f"{'n':>8} {'ladder_ms':>12} {'pippenger_ms':>12} {'speedup':>8}",
+# The XLA ladder/pippenger compiles take tens of minutes through the
+# remote-compile tunnel at n >= 2^12 — bench them only when asked.
+XLA_MAX = int(os.environ.get("XLA_MAX", "10"))  # log2 cap for XLA paths
+
+print(f"{'n':>8} {'pallas_ms':>10} {'ladder_ms':>12} {'pippenger_ms':>12}",
       file=sys.stderr)
 rows = []
 for logn in SIZES:
@@ -75,20 +85,26 @@ for logn in SIZES:
     pts = CurvePoint.generator((n,)).mul(
         Scalar.from_ints([(7 * i + 3) % L for i in range(1, n + 1)]))
     jax.block_until_ready(pts.X.limbs)
-    tl = bench(ladder_msm, pts, ks)
-    tp = bench(_msm_pippenger, pts, ks)
-    rows.append({"n": n, "ladder_ms": round(tl * 1e3, 2),
-                 "pippenger_ms": round(tp * 1e3, 2),
-                 "speedup": round(tl / tp, 2)})
-    print(f"{n:>8} {tl*1e3:>12.2f} {tp*1e3:>12.2f} {tl/tp:>8.2f}",
+    tk = bench(pallas_msm, pts, ks)
+    row = {"n": n, "pallas_ms": round(tk * 1e3, 2)}
+    if logn <= XLA_MAX:
+        tl = bench(ladder_msm, pts, ks)
+        tp = bench(_msm_pippenger, pts, ks)
+        row.update(ladder_ms=round(tl * 1e3, 2),
+                   pippenger_ms=round(tp * 1e3, 2))
+    rows.append(row)
+    print(f"{n:>8} {tk*1e3:>10.2f} "
+          f"{row.get('ladder_ms', float('nan')):>12} "
+          f"{row.get('pippenger_ms', float('nan')):>12}",
           file=sys.stderr)
 
 import json
 
 best = rows[-1]
+best_ms = min(v for k, v in best.items() if k.endswith("_ms"))
 print(json.dumps({
     "metric": "msm_points_per_sec",
-    "value": round(best["n"] / (min(best["ladder_ms"], best["pippenger_ms"]) / 1e3), 1),
+    "value": round(best["n"] / (best_ms / 1e3), 1),
     "unit": "points/s",
     "rows": rows,
 }))

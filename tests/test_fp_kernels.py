@@ -67,3 +67,27 @@ def test_beaver_round_pallas():
         got_s = lb.unpack_ints(spec, out_s[:, j : j + 1], mont=False)[0]
         got_m = lb.unpack_ints(spec, out_m[:, j : j + 1], mont=False)[0]
         assert got_s == want_s and got_m == want_m, j
+
+
+def test_ladder_pallas_interpret():
+    """The Pallas ladder mega-kernel (ops/curve_kernels.py) against the
+    XLA ladder, interpret mode, including the zero scalar and padding
+    (n=3 pads to block=8)."""
+    import numpy as np
+
+    from ark_mpc_tpu.algebra.curve import CurvePoint, _scalar_mul
+    from ark_mpc_tpu.algebra.fields import SCALAR_FIELD
+    from ark_mpc_tpu.algebra.scalar import Scalar
+    from ark_mpc_tpu.ops.curve_kernels import scalar_mul_pallas
+
+    rng = np.random.default_rng(17)
+    L = SCALAR_FIELD.modulus
+    ks = [0] + [int(rng.integers(1, 2**63)) ** 4 % L for _ in range(2)]
+    s = Scalar.from_ints(ks)
+    pts = CurvePoint.generator((3,)).mul(Scalar.from_ints([5, 9, 11]))
+    got = scalar_mul_pallas(pts, s, block=8)
+    want = _scalar_mul(pts, s)
+    gx, gy = got.to_affine()
+    wx, wy = want.to_affine()
+    assert gx.to_ints() == wx.to_ints()
+    assert gy.to_ints() == wy.to_ints()
