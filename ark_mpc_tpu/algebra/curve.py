@@ -185,11 +185,10 @@ class CurvePoint:
         at large n — BASELINE.md 'MSM' table), so it is the TPU path."""
         n = int(np.prod(scalars.shape)) if scalars.shape else 1
         if jax.default_backend() == "tpu":
-            from ..ops.curve_kernels import scalar_mul_pallas
-
-            prods = scalar_mul_pallas(
-                points.reshape(n).broadcast_to((n,)), scalars.reshape(n))
-            return prods.sum()
+            # one dispatch for ladder + tree sum (eager tree levels would
+            # each pay the tunnel RTT)
+            return _msm_pallas_jit(points.reshape(n).broadcast_to((n,)),
+                                   scalars.reshape(n))
         if n >= CurvePoint.MSM_PIPPENGER_CUTOFF:
             return _msm_pippenger(
                 points.reshape(n).broadcast_to((n,)), scalars.reshape(n))
@@ -312,6 +311,13 @@ jax.tree_util.register_pytree_node(
     lambda p: ((p.X, p.Y, p.Z, p.T), None),
     lambda aux, ch: CurvePoint(*ch),
 )
+
+
+@jax.jit
+def _msm_pallas_jit(points: CurvePoint, scalars: Scalar) -> CurvePoint:
+    from ..ops.curve_kernels import scalar_mul_pallas
+
+    return scalar_mul_pallas(points, scalars).sum()
 
 
 _LADDER_UNROLL = 4  # bits per fori iteration: each while-loop round trip

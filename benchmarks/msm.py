@@ -33,9 +33,8 @@ def ladder_msm(pts, s):
 
 
 def pallas_msm(pts, s):
-    from ark_mpc_tpu.ops.curve_kernels import scalar_mul_pallas
-
-    return scalar_mul_pallas(pts, s).sum()
+    # the dispatched TPU path: jitted pallas ladder + tree sum, 1 dispatch
+    return CurvePoint.msm(s, pts)
 
 
 def bench(fn, *args):
