@@ -188,16 +188,11 @@ class LowGear:
         shapes/semantics for downstream-protocol tests."""
         if self.mode == "bgv":
             phi = self.ring.slots
-            chunks: list[tuple] = []
-            for _ in range((n + phi - 1) // phi):
-                chunks.append(self._tl.generate_triple_pairs_l(
-                    self.transport, self.setup, self.rng, self._next_key()))
-            if len(chunks) == 1:
-                return chunks[0]
-            return tuple(
-                ScalarShare.concatenate([ch[i] for ch in chunks])
-                for i in range(5)
-            )
+            # all slot-batches' enc(a) ciphertexts under ONE amortized
+            # ZK proof (`params.rs:65-67` batch structure)
+            return self._tl.generate_triple_pairs_batch_l(
+                self.transport, self.setup, (n + phi - 1) // phi,
+                self.rng, self._next_key())
         d = self._dealer
         a_v = Scalar.random(n, d.rng)
         b_v = Scalar.random(n, d.rng)

@@ -106,13 +106,16 @@ ZK_ROWS = 64  # Fiat-Shamir binary challenge rows: soundness 2^-64 per
 #               MP-SPDZ's proof at sec = 128 — tracked for the large-m sets)
 
 
-def _exchange_encryption_proven(transport: Transport, st: SetupL,
-                                pt_coeffs: Scalar, rng, jkey,
-                                zk_rows: int | None = None) -> CiphertextL:
-    """Exchange one ciphertext each way, gated on the l-field ZK proof of
-    plaintext knowledge — used for both enc(a) (`triplets.rs:69-81`) and
-    enc(mac_key_share) (`setup.rs:13-32`).  Proving runs under OUR public
-    key; verification under the PEER's."""
+def _exchange_encryptions_proven(transport: Transport, st: SetupL,
+                                 pt_coeff_list: list[Scalar], rng, jkey,
+                                 zk_rows: int | None = None
+                                 ) -> list[CiphertextL]:
+    """Exchange U ciphertexts each way under ONE amortized ZK proof of
+    plaintext knowledge — the reference's PoK batch structure
+    (`params.rs:65-67` n_proof_slots: one proof covers a whole batch of
+    ciphertexts, so the V challenge-row cost is paid once per U, not per
+    ciphertext).  Proving runs under OUR public key; verification under
+    the PEER's."""
     from ...fabric import messages as _messages
     from ..bgv.zkpok_words import (
         encrypt_and_prove_batch,
@@ -126,13 +129,23 @@ def _exchange_encryption_proven(transport: Transport, st: SetupL,
     v = zk_rows or ZK_ROWS
     proof = encrypt_and_prove_batch(
         ring, st.keypair.pk_a, st.keypair.pk_b,
-        [pt_coeffs], jkey, v=v, host_rng=rng)
+        pt_coeff_list, jkey, v=v, host_rng=rng)
     frame = _messages.encode_arrays(proof_to_arrays(proof))
     peer_items = _messages.decode_arrays(transport.exchange(frame))
     peer = proof_from_arrays(peer_items)
     if not verify_proof(ring, st.other_pk_a, st.other_pk_b, peer):
         raise KeyExchangeError("peer's l-field ciphertext proof failed")
-    return CiphertextL(peer.cts.c0[0], peer.cts.c1[0])
+    return [CiphertextL(peer.cts.c0[i], peer.cts.c1[i])
+            for i in range(len(pt_coeff_list))]
+
+
+def _exchange_encryption_proven(transport: Transport, st: SetupL,
+                                pt_coeffs: Scalar, rng, jkey,
+                                zk_rows: int | None = None) -> CiphertextL:
+    """Single-ciphertext form of `_exchange_encryptions_proven`
+    (key exchange, `setup.rs:13-32`)."""
+    return _exchange_encryptions_proven(
+        transport, st, [pt_coeffs], rng, jkey, zk_rows)[0]
 
 
 def _exchange_enc_a_proven(transport: Transport, st: SetupL, a_i: Scalar,
@@ -193,6 +206,46 @@ def generate_triple_pairs_l(transport: Transport, st: SetupL,
     a_mac = authenticate_vec_l(transport, st, a_i, rng, keys[7])
     sa = ScalarShare(a_i, a_mac)
     return sa, sb1, sc1, sb2, sc2
+
+
+def generate_triple_pairs_batch_l(transport: Transport, st: SetupL,
+                                  n_batches: int, rng: np.random.Generator,
+                                  jkey):
+    """`n_batches` slot-batches of Fig. 7 pairs with the enc(a) exchange
+    AMORTIZED: all `n_batches` ciphertexts ride ONE ZK proof
+    (`_exchange_encryptions_proven`), matching the reference's
+    slots x sec proof batch (`params.rs:65-67`).  Returns the same 5-tuple
+    as `generate_triple_pairs_l`, concatenated to shape
+    (n_batches * slots,)."""
+    ring = st.ring
+    if n_batches == 1:
+        return generate_triple_pairs_l(transport, st, rng, jkey)
+    keys = jax.random.split(jkey, 1 + 8 * n_batches)
+    a_list = [Scalar.random(ring.slots, rng) for _ in range(n_batches)]
+    enc_others = _exchange_encryptions_proven(
+        transport, st, [encode_slots_l(ring, a) for a in a_list],
+        rng, keys[0])
+
+    outs: list[tuple] = []
+    for i, (a_i, enc_other_a) in enumerate(zip(a_list, enc_others)):
+        k = keys[1 + 8 * i: 1 + 8 * (i + 1)]
+
+        def product(b_vec, k_sp, k_ab, k_ac):
+            mask, dec = share_product_l(transport, st, enc_other_a, b_vec,
+                                        rng, k_sp)
+            c_vec = a_i * b_vec + mask + dec
+            b_mac = authenticate_vec_l(transport, st, b_vec, rng, k_ab)
+            c_mac = authenticate_vec_l(transport, st, c_vec, rng, k_ac)
+            return ScalarShare(b_vec, b_mac), ScalarShare(c_vec, c_mac)
+
+        b1 = Scalar.random(ring.slots, rng)
+        b2 = Scalar.random(ring.slots, rng)
+        sb1, sc1 = product(b1, k[0], k[1], k[2])
+        sb2, sc2 = product(b2, k[3], k[4], k[5])
+        a_mac = authenticate_vec_l(transport, st, a_i, rng, k[6])
+        outs.append((ScalarShare(a_i, a_mac), sb1, sc1, sb2, sc2))
+    return tuple(ScalarShare.concatenate([o[j] for o in outs])
+                 for j in range(5))
 
 
 def generate_input_masks_l(transport: Transport, st: SetupL, n: int,

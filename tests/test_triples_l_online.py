@@ -56,3 +56,35 @@ def test_bgv_l_triples_drive_online_phase():
     (z0, x0, y0), (z1, x1, y1) = execute_mock_mpc(prog)
     assert z0 == z1 and x0 == x1 and y0 == y1
     assert z0 == [(xv * yv) % L for xv, yv in zip(x0, y0)]
+
+
+def test_batched_proof_triple_pairs():
+    """Multiple slot-batches of Fig.7 pairs under ONE amortized ZK proof
+    (`generate_triple_pairs_batch_l`, the `params.rs:65-67` batch
+    structure): pair relations c=ab, c'=ab' hold across the batch seam and
+    MACs authenticate under the combined key."""
+    from ark_mpc_tpu.offline.lowgear.triplets_l import (
+        generate_triple_pairs_batch_l,
+    )
+
+    def prog(fabric):
+        pid = fabric.party_id
+        rng = np.random.default_rng(520 + pid)
+        st = key_exchange_l(fabric.transport, RING, rng,
+                            jax.random.PRNGKey(620 + pid))
+        a, b, c, b2, c2 = generate_triple_pairs_batch_l(
+            fabric.transport, st, 2, rng, jax.random.PRNGKey(720 + pid))
+
+        prep = LowGearPrep(mac_key_share=st.mac_key_share)
+        online = MpcFabric(pid, fabric.transport, prep, rng=rng)
+        outs = [online.open_authenticated(s, defer=True)
+                for s in (a, b, c, b2, c2)]
+        online.verify_deferred()
+        return [o.to_ints() for o in outs]
+
+    r0, r1 = execute_mock_mpc(prog)
+    av, bv, cv, b2v, c2v = r0
+    assert r0 == r1
+    assert len(av) == 2 * RING.slots
+    assert cv == [(x * y) % L for x, y in zip(av, bv)]
+    assert c2v == [(x * y) % L for x, y in zip(av, b2v)]
