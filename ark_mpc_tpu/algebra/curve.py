@@ -320,14 +320,18 @@ def _msm_pallas_jit(points: CurvePoint, scalars: Scalar) -> CurvePoint:
     return scalar_mul_pallas(points, scalars).sum()
 
 
-_LADDER_UNROLL = 4  # bits per fori iteration: each while-loop round trip
-#                     costs ~0.4 ms at TPU dispatch granularity, so 256
-#                     iterations -> 64 (bits above 252 are always zero)
+def _ladder_unroll() -> int:
+    """Bits per fori iteration.  TPU: 4 — each while-loop round trip costs
+    ~0.4 ms at dispatch granularity, so 256 iterations -> 64 (bits above
+    252 are always zero).  CPU: 1 — a 4x bigger loop body blows XLA's CPU
+    compile up to ~9 min inside enclosing jits (the point-Beaver combine
+    inlines three ladders)."""
+    return 4 if jax.default_backend() == "tpu" else 1
 
 
 @jax.jit
 def _scalar_mul(point: CurvePoint, scalar: Scalar) -> CurvePoint:
-    """MSB-first double-and-select ladder, `_LADDER_UNROLL` bits per
+    """MSB-first double-and-select ladder, `_ladder_unroll()` bits per
     `fori_loop` iteration (256 total; the canonical scalar is < 2^253)."""
     shape = jnp.broadcast_shapes(point.shape, scalar.shape)
     point = point.broadcast_to(shape)
@@ -337,9 +341,11 @@ def _scalar_mul(point: CurvePoint, scalar: Scalar) -> CurvePoint:
         (NLIMBS,) + shape,
     )
 
+    unroll = _ladder_unroll()
+
     def body(j, acc: CurvePoint) -> CurvePoint:
-        for t in range(_LADDER_UNROLL):
-            bit_index = 255 - (_LADDER_UNROLL * j + t)
+        for t in range(unroll):
+            bit_index = 255 - (unroll * j + t)
             limb = jax.lax.dynamic_index_in_dim(
                 canon, bit_index >> 4, axis=0, keepdims=False)
             bit = (limb >> (bit_index.astype(jnp.uint32) & 15)) & 1
@@ -349,7 +355,7 @@ def _scalar_mul(point: CurvePoint, scalar: Scalar) -> CurvePoint:
         return acc
 
     acc0 = CurvePoint.identity(shape)
-    return jax.lax.fori_loop(0, 256 // _LADDER_UNROLL, body, acc0)
+    return jax.lax.fori_loop(0, 256 // unroll, body, acc0)
 
 
 def _scalar_digits(scalar: Scalar, c: int) -> jnp.ndarray:
@@ -519,9 +525,11 @@ def _mul_by_order(point: CurvePoint) -> CurvePoint:
                     jnp.uint32).reshape((NLIMBS,) + (1,) * len(shape)),
         (NLIMBS,) + shape)
 
+    unroll = _ladder_unroll()
+
     def body(j, acc: CurvePoint) -> CurvePoint:
-        for t in range(_LADDER_UNROLL):
-            bit_index = 255 - (_LADDER_UNROLL * j + t)
+        for t in range(unroll):
+            bit_index = 255 - (unroll * j + t)
             limb = jax.lax.dynamic_index_in_dim(
                 canon, bit_index >> 4, axis=0, keepdims=False)
             bit = (limb >> (bit_index.astype(jnp.uint32) & 15)) & 1
@@ -530,7 +538,7 @@ def _mul_by_order(point: CurvePoint) -> CurvePoint:
             acc = added.select(bit == 1, acc)
         return acc
 
-    return jax.lax.fori_loop(0, 256 // _LADDER_UNROLL, body,
+    return jax.lax.fori_loop(0, 256 // unroll, body,
                              CurvePoint.identity(shape))
 
 

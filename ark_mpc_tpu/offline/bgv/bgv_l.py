@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +37,13 @@ L_MOD = SCALAR_FIELD.modulus
 class CiphertextL:
     c0: jnp.ndarray  # (..., L, phi)
     c1: jnp.ndarray
+
+
+jax.tree_util.register_pytree_node(
+    CiphertextL,
+    lambda c: ((c.c0, c.c1), None),
+    lambda aux, ch: CiphertextL(*ch),
+)
 
 
 @dataclass
@@ -123,6 +132,37 @@ def keygen_l(ring: CyclotomicRing, key) -> KeypairL:
     return KeypairL(ring, s, a, b)
 
 
+def _ring_jit(nargs: int):
+    """Jit a `fn(ring, *arrays)` op with the ring static when the ring is
+    fully device-traceable (`ring.supports_jit`, the production
+    `PowerfulRing`).  Eager dispatch of these ops costs one host round
+    trip per primitive — through the tunneled TPU that made encrypt_l
+    ~7 s at m=118965; jitted it is ~136 ms (54x).  The prototype
+    `CyclotomicRing` keeps eager paths (host-side bigint CRT in decrypt).
+    Calls with kwargs or extra positionals (e.g. return_randomness,
+    drown_bits) bypass the jitted form."""
+
+    def deco(fn):
+        jitted = jax.jit(fn, static_argnums=0)
+
+        @functools.wraps(fn)
+        def wrapper(ring, *args, **kwargs):
+            if (kwargs or len(args) != nargs
+                    or not getattr(ring, "supports_jit", False)):
+                return fn(ring, *args, **kwargs)
+            # build lazy host state OUTSIDE the trace (a constant built
+            # during tracing would be stored on the ring as a leaked tracer)
+            prep = getattr(ring, "prepare_for_trace", None)
+            if prep is not None:
+                prep()
+            return jitted(ring, *args)
+
+        return wrapper
+
+    return deco
+
+
+@_ring_jit(1)
 def encode_slots_l(ring, slots: Scalar) -> Scalar:
     """F_l slot values (..., ring.slots) -> plaintext coefficients
     (..., phi).  Dispatches to the ring's transform-based maps
@@ -133,6 +173,7 @@ def encode_slots_l(ring, slots: Scalar) -> Scalar:
     return (ring.encode_mat @ slots.reshape(ring.slots, 1)).reshape(ring.phi)
 
 
+@_ring_jit(1)
 def decode_slots_l(ring, coeffs: Scalar) -> Scalar:
     if hasattr(ring, "decode_slots"):
         return ring.decode_slots(coeffs)
@@ -155,6 +196,7 @@ def encrypt_with_randomness_l(ring, pk_a, pk_b, m_rns, u_rns, e0_rns,
     return CiphertextL(c0, c1)
 
 
+@_ring_jit(4)
 def encrypt_l(ring: CyclotomicRing, pk_a, pk_b, pt_coeffs: Scalar,
               key, return_randomness: bool = False):
     ku, k0, k1 = jax.random.split(key, 3)
@@ -168,6 +210,7 @@ def encrypt_l(ring: CyclotomicRing, pk_a, pk_b, pt_coeffs: Scalar,
     return ct
 
 
+@_ring_jit(2)
 def decrypt_l(ring, sk, ct: CiphertextL) -> Scalar:
     """-> plaintext coefficients as a Scalar (phi,)."""
     phase = ring.add(ct.c0, ring.mul(ct.c1, sk))
@@ -178,19 +221,23 @@ def decrypt_l(ring, sk, ct: CiphertextL) -> Scalar:
     return Scalar.from_ints([v % L_MOD for v in ints])
 
 
+@_ring_jit(2)
 def add_ct_l(ring, x: CiphertextL, y: CiphertextL) -> CiphertextL:
     return CiphertextL(ring.add(x.c0, y.c0), ring.add(x.c1, y.c1))
 
 
+@_ring_jit(2)
 def add_pt_l(ring, x: CiphertextL, pt_coeffs: Scalar) -> CiphertextL:
     return CiphertextL(ring.add(x.c0, _pt_to_rns(ring, pt_coeffs)), x.c1)
 
 
+@_ring_jit(2)
 def mul_pt_l(ring, x: CiphertextL, pt_coeffs: Scalar) -> CiphertextL:
     m = _pt_to_rns(ring, pt_coeffs)
     return CiphertextL(ring.mul(x.c0, m), ring.mul(x.c1, m))
 
 
+@_ring_jit(4)
 def rerandomize_l(ring, pk_a, pk_b, ct: CiphertextL, key,
                   drown_bits: int | None = None) -> CiphertextL:
     """Drowning: add enc(0) whose noise statistically hides the

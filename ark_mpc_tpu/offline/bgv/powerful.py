@@ -211,6 +211,10 @@ class PowerfulRing:
     are unique, so no non-primitive components can leak.
     """
 
+    # all ops are device-traceable -> bgv_l's `_ring_jit` wrappers compile
+    # them as single programs (one dispatch instead of hundreds)
+    supports_jit = True
+
     def __init__(self, m: int, n_q_primes: int | None = None,
                  q_bits: int = 30, cbd_k: int = 10, drown_sec: int = 128,
                  zk_sec: int = 64, u_max: int = 128):
@@ -365,12 +369,22 @@ class PowerfulRing:
             reps = np.nonzero(np.arange(self.phi)
                               <= self.frob_perm)[0]
             assert reps.size == self.slots
-            self.slot_reps = jnp.asarray(reps)
-            self.slot_partner = jnp.asarray(self.frob_perm[reps])
+            # numpy, NOT jnp: this builder may first run under a jit trace
+            # (via the lazily-calling encode/decode paths), and a
+            # jnp.asarray created there would be stored as a leaked tracer
+            self.slot_reps = np.asarray(reps)
+            self.slot_partner = np.asarray(self.frob_perm[reps])
         else:
-            self.slot_reps = jnp.asarray(np.arange(self.phi))
+            self.slot_reps = np.arange(self.phi)
             self.slot_partner = self.slot_reps
         self._slot_maps_built = True
+
+    def prepare_for_trace(self):
+        """Materialize all lazily-built host state BEFORE entering a jit
+        trace (called by bgv_l's `_ring_jit` wrappers): constants built
+        during a trace would leak as tracers into the ring object."""
+        self._build_slot_maps()
+        self._phase_convert_fn()
 
     def __hash__(self):
         return hash((self.m, self.q_primes[0], len(self.q_primes)))
