@@ -186,6 +186,7 @@ def _pt_to_rns(ring: CyclotomicRing, coeffs: Scalar):
     return ring.lift_plaintext_limbs(canon)
 
 
+@_ring_jit(6)
 def encrypt_with_randomness_l(ring, pk_a, pk_b, m_rns, u_rns, e0_rns,
                               e1_rns) -> CiphertextL:
     """Deterministic encryption from explicit RNS-lifted randomness (the
@@ -208,6 +209,16 @@ def encrypt_l(ring: CyclotomicRing, pk_a, pk_b, pt_coeffs: Scalar,
     if return_randomness:
         return ct, (u_raw, e0_raw, e1_raw)
     return ct
+
+
+@_ring_jit(4)
+def encrypt_returning_randomness_l(ring, pk_a, pk_b, pt_coeffs: Scalar,
+                                   key):
+    """`encrypt_l(..., return_randomness=True)` in jittable positional
+    form — the ZKPoK prover encrypts U + V ciphertexts per proof batch
+    (`zkpok_words.encrypt_and_prove_batch`), which at the production ring
+    is ~7 s each eager vs ~0.14 s jitted."""
+    return encrypt_l.__wrapped__(ring, pk_a, pk_b, pt_coeffs, key, True)
 
 
 @_ring_jit(2)

@@ -39,7 +39,12 @@ import numpy as np
 from ...algebra import limbs as lb
 from ...algebra.fields import SCALAR_FIELD
 from ...algebra.scalar import Scalar
-from .bgv_l import CiphertextL, encrypt_l, encrypt_with_randomness_l
+from .bgv_l import (
+    CiphertextL,
+    encrypt_l,
+    encrypt_returning_randomness_l,
+    encrypt_with_randomness_l,
+)
 from .powerful import zk_word_counts
 
 L_MOD = SCALAR_FIELD.modulus
@@ -147,8 +152,7 @@ def encrypt_and_prove_batch(ring, pk_a, pk_b, pt_coeff_list, key,
     cts, raws = [], []
     for pt in pt_coeff_list:
         key, sub = jax.random.split(key)
-        ct, raw = encrypt_l(ring, pk_a, pk_b, pt, sub,
-                            return_randomness=True)
+        ct, raw = encrypt_returning_randomness_l(ring, pk_a, pk_b, pt, sub)
         cts.append(ct)
         raws.append(raw)
     cts = CiphertextL(jnp.stack([c.c0 for c in cts]),
