@@ -37,12 +37,17 @@ class LowGear:
     def __init__(self, party_id: int, transport: Transport,
                  rng: np.random.Generator | None = None,
                  dealer_seed: int = 0xA5A5, mode: str = "dealer",
-                 ring=None, jkey=None):
+                 ring=None, jkey=None, setup=None):
         """mode="bgv": fully dealer-free — raw triples, randomness, and
         input masks come from the BGV-over-l pipeline (`triplets_l.py`)
         after a real key exchange.  mode="dealer": honest-dealer raw
         material (fast; used by tests that exercise the downstream
-        protocols in isolation)."""
+        protocols in isolation).
+
+        `setup`: a previously exchanged `SetupL` (see `get_setup_params` /
+        `from_setup_params`) — skips the key exchange so a party can
+        reconnect with a fresh transport between phases, mirroring
+        `LowGear::new_from_params` (`lowgear/mod.rs:92-127`)."""
         self.party_id = party_id
         self.transport = transport
         self.mode = mode
@@ -64,11 +69,15 @@ class LowGear:
             from . import triplets_l
 
             self._tl = triplets_l
-            self.ring = ring or default_ring()
             self._jkey = jkey if jkey is not None else jax.random.PRNGKey(
                 _secrets.randbits(63))
-            self.setup = triplets_l.key_exchange_l(
-                transport, self.ring, self.rng, self._next_key())
+            if setup is not None:
+                self.ring = setup.ring
+                self.setup = setup
+            else:
+                self.ring = ring or default_ring()
+                self.setup = triplets_l.key_exchange_l(
+                    transport, self.ring, self.rng, self._next_key())
             self.mac_key_share = self.setup.mac_key_share
             self._dealer = None
         else:
@@ -175,6 +184,92 @@ class LowGear:
 
     def get_offline_result(self) -> LowGearPrep:
         return self.prep
+
+    # -- setup persistence (`lowgear/mod.rs:92-127` analog) -----------------
+
+    def get_setup_params(self) -> bytes:
+        """Serialize the post-key-exchange state — ring identity, own BGV
+        keypair, counterparty PK, counterparty's proved enc(MAC share), and
+        the MAC key share — so the offline phase can resume with a FRESH
+        transport without redoing the key exchange.  Analog of
+        `LowGear::get_setup_params` (`lowgear/mod.rs:92-104`); the reference
+        uses it to reconnect between the offline and online phases
+        (`integration/src/lowgear.rs:19-24`)."""
+        assert self.mode == "bgv", "setup persistence is a bgv-mode feature"
+        import io
+        import json
+
+        import jax
+
+        r = self.ring
+        kind = type(r).__name__
+        meta = {"kind": kind, "m": int(r.m), "n_q": len(r.q_primes),
+                "cbd_k": int(r.cbd_k), "drown_sec": int(r.drown_sec)}
+        if kind == "PowerfulRing":
+            meta["zk_sec"] = int(r.zk_sec)
+            meta["u_max"] = int(r.u_max)
+        st = self.setup
+        get = lambda a: np.asarray(jax.device_get(a))  # noqa: E731
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            meta=np.frombuffer(json.dumps(meta).encode(), np.uint8),
+            q_primes=np.asarray(r.q_primes, np.uint64),
+            sk=get(st.keypair.sk), pk_a=get(st.keypair.pk_a),
+            pk_b=get(st.keypair.pk_b),
+            other_pk_a=get(st.other_pk_a), other_pk_b=get(st.other_pk_b),
+            mac_c0=get(st.other_mac_enc.c0), mac_c1=get(st.other_mac_enc.c1),
+            mac_key_share=np.frombuffer(
+                self.mac_key_share.to_bytes_le(), np.uint8),
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def from_setup_params(cls, party_id: int, transport: Transport,
+                          blob: bytes,
+                          rng: np.random.Generator | None = None,
+                          jkey=None) -> "LowGear":
+        """Rebuild a bgv-mode `LowGear` from `get_setup_params` output over
+        a (possibly new) transport — no key exchange is performed.  Analog
+        of `LowGear::new_from_params` (`lowgear/mod.rs:107-127`)."""
+        import io
+        import json
+
+        import jax.numpy as jnp
+
+        from ..bgv.bgv_l import CiphertextL, KeypairL
+        from .triplets_l import SetupL
+
+        with np.load(io.BytesIO(blob)) as z:
+            meta = json.loads(z["meta"].tobytes().decode())
+            q_primes = [int(q) for q in z["q_primes"]]
+            arrs = {k: z[k] for k in ("sk", "pk_a", "pk_b", "other_pk_a",
+                                      "other_pk_b", "mac_c0", "mac_c1")}
+            mac_bytes = z["mac_key_share"].tobytes()
+
+        if meta["kind"] == "PowerfulRing":
+            from ..bgv.powerful import PowerfulRing
+
+            ring = PowerfulRing(meta["m"], n_q_primes=meta["n_q"],
+                                cbd_k=meta["cbd_k"],
+                                drown_sec=meta["drown_sec"],
+                                zk_sec=meta["zk_sec"], u_max=meta["u_max"])
+        else:
+            from ..bgv.cyclotomic import CyclotomicRing
+
+            ring = CyclotomicRing(meta["m"], n_q_primes=meta["n_q"],
+                                  cbd_k=meta["cbd_k"],
+                                  drown_sec=meta["drown_sec"])
+        if [int(q) for q in ring.q_primes] != q_primes:
+            raise ValueError("reconstructed ring RNS basis mismatch")
+
+        dev = {k: jnp.asarray(v) for k, v in arrs.items()}
+        mac_key_share = Scalar.from_bytes_le(mac_bytes).reshape()
+        st = SetupL(ring, KeypairL(ring, dev["sk"], dev["pk_a"], dev["pk_b"]),
+                    dev["other_pk_a"], dev["other_pk_b"],
+                    CiphertextL(dev["mac_c0"], dev["mac_c1"]), mac_key_share)
+        return cls(party_id, transport, rng=rng, mode="bgv", jkey=jkey,
+                   setup=st)
 
     # -- raw material (BGV swap-in point) ----------------------------------
 
