@@ -68,6 +68,127 @@ def _padd(B, x1, y1, z1, t1, x2, y2, z2, t2, d2):
     return _bmul(e, f), _bmul(g, h), _bmul(f, g), _bmul(e, h)
 
 
+def _double_no_t(B, x, y, z):
+    """Doubling without the T output (7 muls): only the double feeding an
+    addition needs extended T."""
+    a = _bmul(x, x)
+    b = _bmul(y, y)
+    zz = _bmul(z, z)
+    c = _add_mod(B, zz, zz)
+    h = _add_mod(B, a, b)
+    xy = _add_mod(B, x, y)
+    e = _sub_mod(B, h, _bmul(xy, xy))
+    g = _sub_mod(B, a, b)
+    f = _add_mod(B, c, g)
+    return _bmul(e, f), _bmul(g, h), _bmul(f, g)
+
+
+def _padd_cached(B, x1, y1, z1, t1, cp, cq, cr, cz):
+    """Extended + cached-form point (cp, cq, cr, cz) = (Y−X, Y+X, 2d·T, Z):
+    8 base-field muls (dalek's cached-operand trick — one fewer mul and no
+    2d product per step vs `_padd`)."""
+    a = _bmul(_sub_mod(B, y1, x1), cp)
+    b = _bmul(_add_mod(B, y1, x1), cq)
+    c = _bmul(t1, cr)
+    dd = _bmul(z1, cz)
+    dd = _add_mod(B, dd, dd)
+    e = _sub_mod(B, b, a)
+    f = _sub_mod(B, dd, c)
+    g = _add_mod(B, dd, c)
+    h = _add_mod(B, b, a)
+    return _bmul(e, f), _bmul(g, h), _bmul(f, g), _bmul(e, h)
+
+
+WBLOCK = 256
+
+
+@functools.partial(jax.jit, static_argnames=("block", "windows"))
+def windowed_mul_pallas(canon, px, py, pz, pt, block: int = WBLOCK,
+                        windows: int = 64):
+    """Batch scalar-mul via a 4-bit fixed-window mega-kernel.
+
+    Per (16, block) tile: build the 16-entry multiples table of P once
+    (VMEM-resident, cached form), then 64 window steps of 3 T-less doubles +
+    1 full double + 1 cached add with a one-hot table select.  ~10.3 muls/
+    bit vs the plain ladder's 17 — measured ~1.6x (`benchmarks/msm.py`).
+    Same interface as `ladder_pallas`; reference analog of the windowed
+    strategy: arkworks' scalar_mul windows (`curve.rs:546-584`).
+
+    `windows < 64` processes only the LOW `windows` 4-bit windows (i.e.
+    computes (s mod 2^(4*windows)) * P) — a test knob: the interpret-mode
+    CI check runs a few windows instead of paying the full 64-step
+    emulation."""
+    n = canon.shape[1]
+    assert n % block == 0, f"n must be a multiple of {block}"
+    B = BASE_FIELD
+
+    def kernel(s_r, x_r, y_r, z_r, t_r, ox, oy, oz, ot):
+        canon_t = s_r[...]
+        P = (x_r[...], y_r[...], z_r[...], t_r[...])
+        w = canon_t.shape[1]
+        zero = jnp.zeros((NLIMBS, w), jnp.uint32)
+        one = jnp.concatenate(
+            [jnp.ones((1, w), jnp.uint32), jnp.zeros((NLIMBS - 1, w), jnp.uint32)], 0)
+        d2 = jnp.concatenate(
+            [jnp.full((1, w), v, jnp.uint32) for v in _ED_2D_LIMBS], 0)
+
+        # multiples table 0..15 in extended coords (evens by doubling the
+        # half entry, odds by adding P — 7 full doubles + 7 adds, one-time)
+        ext = [(zero, one, one, zero), P]
+        for k in range(2, 16):
+            if k % 2 == 0:
+                ext.append(_double(B, *ext[k // 2]))
+            else:
+                ext.append(_padd(B, *ext[k - 1], *P, d2))
+        # cached form: (Y−X, Y+X, 2d·T, Z), stacked on a leading entry axis
+        cp = jnp.stack([_sub_mod(B, y, x) for (x, y, z, t) in ext])
+        cq = jnp.stack([_add_mod(B, y, x) for (x, y, z, t) in ext])
+        cr = jnp.stack([_bmul(d2, t) for (x, y, z, t) in ext])
+        cz = jnp.stack([z for (x, y, z, t) in ext])
+        ids = jnp.arange(16, dtype=jnp.uint32)[:, None, None]  # (16,1,1)
+
+        def body(i, acc):
+            off = (windows - 1 - i) * 4  # 4-bit windows stay within a limb
+            li = off >> 4
+            sh = (off & 15).astype(jnp.uint32)
+            row = canon_t[0]
+            for r in range(1, NLIMBS):
+                row = jnp.where(li == r, canon_t[r], row)
+            digit = (row >> sh) & 15  # (w,)
+
+            x, y, z, t = acc
+            for _ in range(3):
+                x, y, z = _double_no_t(B, x, y, z)
+            x, y, z, t = _double(B, x, y, z, t)
+
+            hit = digit[None, None, :] == ids  # (16, 1, w)
+            # mosaic can't reduce unsigned ints; limbs < 2^16 and exactly
+            # one entry hits, so an int32 sum is exact
+            sel = [jnp.where(hit, comp, 0).astype(jnp.int32)
+                   .sum(axis=0).astype(jnp.uint32)
+                   for comp in (cp, cq, cr, cz)]
+            return _padd_cached(B, x, y, z, t, *sel)
+
+        x, y, z, t = jax.lax.fori_loop(0, windows, body,
+                                       (zero, one, one, zero))
+        ox[...] = x
+        oy[...] = y
+        oz[...] = z
+        ot[...] = t
+
+    tile = pl.BlockSpec((NLIMBS, block), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((NLIMBS, n), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[tile] * 5,
+        out_specs=(tile, tile, tile, tile),
+        out_shape=(out, out, out, out),
+        interpret=_interpret(),
+    )(canon, px, py, pz, pt)
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def ladder_pallas(canon, px, py, pz, pt, block: int = BLOCK):
     """Batch scalar-mul: canon (16, n) CANONICAL scalar limbs, p* (16, n)
@@ -121,11 +242,12 @@ def ladder_pallas(canon, px, py, pz, pt, block: int = BLOCK):
     )(canon, px, py, pz, pt)
 
 
-def mul_by_order_pallas(point, block: int = BLOCK):
+def mul_by_order_pallas(point, block: int = WBLOCK, kernel=None):
     """l * P via the mega-kernel (the prime-subgroup check hot path:
     `fabric/points.py` validates every point received off the wire)."""
     from ..algebra.curve import CurvePoint
 
+    kern = kernel or windowed_mul_pallas
     shape = point.shape
     n = 1
     for s in shape:
@@ -141,22 +263,25 @@ def mul_by_order_pallas(point, block: int = BLOCK):
         def padc(a):
             return jnp.concatenate(
                 [a, jnp.zeros((NLIMBS, pad), jnp.uint32)], axis=1)
-        x, y, z, t = ladder_pallas(padc(canon), *(padc(c.limbs)
-                                                  for c in pt._coords()),
-                                   block=block)
+        x, y, z, t = kern(padc(canon), *(padc(c.limbs)
+                                         for c in pt._coords()),
+                          block=block)
     else:
-        x, y, z, t = ladder_pallas(canon, *(c.limbs for c in pt._coords()),
-                                   block=block)
+        x, y, z, t = kern(canon, *(c.limbs for c in pt._coords()),
+                          block=block)
     out = CurvePoint(*(type(pt.X)(a[:, :n]) for a in (x, y, z, t)))
     return out.reshape(*shape) if shape else out.reshape()
 
 
-def scalar_mul_pallas(point, scalar, block: int = BLOCK):
+def scalar_mul_pallas(point, scalar, block: int = WBLOCK, kernel=None):
     """`CurvePoint.mul` via the mega-kernel: broadcasts, flattens, pads to
     a block multiple, and reshapes back.  Use on TPU; the XLA ladder stays
-    the CPU path (the Pallas interpreter is far slower than XLA there)."""
+    the CPU path (the Pallas interpreter is far slower than XLA there).
+    Dispatches to the 4-bit windowed kernel (the measured winner); pass
+    `kernel=ladder_pallas` for the plain ladder."""
     from ..algebra.curve import CurvePoint
 
+    kern = kernel or windowed_mul_pallas
     shape = jnp.broadcast_shapes(point.shape, scalar.shape)
     n = 1
     for s in shape:
@@ -174,6 +299,6 @@ def scalar_mul_pallas(point, scalar, block: int = BLOCK):
     else:
         canon_p = canon
         coords = [c.limbs for c in pt._coords()]
-    x, y, z, t = ladder_pallas(canon_p, *coords, block=block)
+    x, y, z, t = kern(canon_p, *coords, block=block)
     out = CurvePoint(*(type(pt.X)(a[:, :n]) for a in (x, y, z, t)))
     return out.reshape(*shape) if shape else out.reshape()

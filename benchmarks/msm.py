@@ -33,8 +33,17 @@ def ladder_msm(pts, s):
 
 
 def pallas_msm(pts, s):
-    # the dispatched TPU path: jitted pallas ladder + tree sum, 1 dispatch
+    # the dispatched TPU path: jitted pallas windowed mega-kernel + tree
+    # sum, 1 dispatch
     return CurvePoint.msm(s, pts)
+
+
+@jax.jit
+def pallas_ladder_msm(pts, s):
+    # the plain (pre-windowed) pallas ladder, for comparison
+    from ark_mpc_tpu.ops.curve_kernels import ladder_pallas, scalar_mul_pallas
+
+    return scalar_mul_pallas(pts, s, block=512, kernel=ladder_pallas).sum()
 
 
 def bench(fn, *args):
@@ -73,8 +82,10 @@ print(f"dispatch RTT baseline: {RTT*1e3:.1f} ms (subtracted below)",
 # remote-compile tunnel at n >= 2^12 — bench them only when asked.
 XLA_MAX = int(os.environ.get("XLA_MAX", "10"))  # log2 cap for XLA paths
 
-print(f"{'n':>8} {'pallas_ms':>10} {'ladder_ms':>12} {'pippenger_ms':>12}",
-      file=sys.stderr)
+PALLAS_LADDER = os.environ.get("PALLAS_LADDER", "1") == "1"
+
+print(f"{'n':>8} {'pallas_ms':>10} {'plad_ms':>10} {'ladder_ms':>12} "
+      f"{'pippenger_ms':>12}", file=sys.stderr)
 rows = []
 for logn in SIZES:
     n = 1 << logn
@@ -86,6 +97,9 @@ for logn in SIZES:
     jax.block_until_ready(pts.X.limbs)
     tk = bench(pallas_msm, pts, ks)
     row = {"n": n, "pallas_ms": round(tk * 1e3, 2)}
+    if PALLAS_LADDER:
+        tpl = bench(pallas_ladder_msm, pts, ks)
+        row["pallas_ladder_ms"] = round(tpl * 1e3, 2)
     if logn <= XLA_MAX:
         tl = bench(ladder_msm, pts, ks)
         tp = bench(_msm_pippenger, pts, ks)
@@ -93,6 +107,7 @@ for logn in SIZES:
                    pippenger_ms=round(tp * 1e3, 2))
     rows.append(row)
     print(f"{n:>8} {tk*1e3:>10.2f} "
+          f"{row.get('pallas_ladder_ms', float('nan')):>10} "
           f"{row.get('ladder_ms', float('nan')):>12} "
           f"{row.get('pippenger_ms', float('nan')):>12}",
           file=sys.stderr)

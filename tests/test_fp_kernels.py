@@ -85,7 +85,40 @@ def test_ladder_pallas_interpret():
     ks = [0] + [int(rng.integers(1, 2**63)) ** 4 % L for _ in range(2)]
     s = Scalar.from_ints(ks)
     pts = CurvePoint.generator((3,)).mul(Scalar.from_ints([5, 9, 11]))
-    got = scalar_mul_pallas(pts, s, block=8)
+    from ark_mpc_tpu.ops.curve_kernels import ladder_pallas
+
+    want = _scalar_mul(pts, s)
+    wx, wy = want.to_affine()
+    got = scalar_mul_pallas(pts, s, block=8, kernel=ladder_pallas)
+    gx, gy = got.to_affine()
+    assert gx.to_ints() == wx.to_ints()
+    assert gy.to_ints() == wy.to_ints()
+
+
+def test_windowed_pallas_interpret():
+    """The 4-bit windowed mega-kernel against the XLA ladder in interpret
+    mode.  Full 64-window emulation costs ~20 min on CPU, so this runs the
+    low-8-windows variant (scalars < 2^32, spanning two 16-bit limbs) —
+    table build, one-hot select, digit extraction across limbs, and the
+    double/cached-add chain are all exercised; the full-width kernel is
+    validated on hardware (BASELINE.md MSM table)."""
+    import functools
+
+    import numpy as np
+
+    from ark_mpc_tpu.algebra.curve import CurvePoint, _scalar_mul
+    from ark_mpc_tpu.algebra.scalar import Scalar
+    from ark_mpc_tpu.ops.curve_kernels import (
+        scalar_mul_pallas,
+        windowed_mul_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    ks = [0, 1, int(rng.integers(1, 1 << 32))]
+    s = Scalar.from_ints(ks)
+    pts = CurvePoint.generator((3,)).mul(Scalar.from_ints([5, 9, 11]))
+    kern = functools.partial(windowed_mul_pallas, windows=8)
+    got = scalar_mul_pallas(pts, s, block=8, kernel=kern)
     want = _scalar_mul(pts, s)
     gx, gy = got.to_affine()
     wx, wy = want.to_affine()
