@@ -278,6 +278,193 @@ def traced_circuit(fabric):
 
 
 @integration_test
+def scalar_neg_sub(fabric):
+    """test_neg / test_sub / test_batch_sub (`authenticated_scalar.rs`)."""
+    rng = random.Random(123)
+    xs = [rng.randrange(L) for _ in range(8)]
+    ys = [rng.randrange(L) for _ in range(8)]
+    sx, sy = _share(fabric, xs, 0), _share(fabric, ys, 1)
+    want = [(-x - (x - y)) % L for x, y in zip(xs, ys)]
+    assert fabric.open_authenticated(-sx - (sx - sy)).to_ints() == want
+
+
+@integration_test
+def public_add_then_mul(fabric):
+    """test_public_add_then_mul (`integration/src/mpc.rs`): the add-public
+    party-0 asymmetry must survive a downstream Beaver multiply."""
+    rng = random.Random(124)
+    x, y, k = (rng.randrange(L) for _ in range(3))
+    sx, sy = _share(fabric, [x], 0), _share(fabric, [y], 1)
+    z = fabric.mul(fabric.add_public(sx, Scalar.from_ints(k)), sy)
+    assert fabric.open_authenticated(z).to_ints() == [(x + k) * y % L]
+
+
+@integration_test
+def point_linear_ops(fabric):
+    """test_add / test_sub / test_negation on authenticated points
+    (`authenticated_curve.rs`)."""
+    # batch 2 everywhere in the point family: CPU jit-caches are
+    # shape-specialized, so shared shapes keep the registry fast
+    pa, _ = _rand_points(125, 2)
+    pb, _ = _rand_points(126, 2)
+    sa = fabric.share_points(pa if fabric.party_id == 0 else None,
+                             sender=0, n=2)
+    sb = fabric.share_points(pb if fabric.party_id == 1 else None,
+                             sender=1, n=2)
+    got = fabric.open_authenticated_points(sa + sb - (-sa))
+    assert _affine(got) == _affine(pa + pb + pa)
+
+
+@integration_test
+def point_add_public(fabric):
+    """test_addition_public_point / test_sub_public_point."""
+    pa, _ = _rand_points(127, 2)
+    pub, _ = _rand_points(128, 2)
+    pub2, _ = _rand_points(139, 2)
+    sa = fabric.share_points(pa if fabric.party_id == 0 else None,
+                             sender=0, n=2)
+    r = sa.add_public(pub, fabric.mac_key_share(), fabric.party_id)
+    r = r.sub_public(pub2, fabric.mac_key_share(), fabric.party_id)
+    want = pa + pub - pub2
+    assert _affine(fabric.open_authenticated_points(r)) == _affine(want)
+
+
+@integration_test
+def point_mul_public_scalar(fabric):
+    """test_mul_public_scalar on a point share (`curve/share.rs:84-97`)."""
+    rng = random.Random(129)
+    k = rng.randrange(L)
+    pa, ks = _rand_points(130, 2)
+    sa = fabric.share_points(pa if fabric.party_id == 1 else None,
+                             sender=1, n=2)
+    got = fabric.open_authenticated_points(sa.mul_public(Scalar.from_ints(k)))
+    want = CurvePoint.generator((2,)).mul(
+        Scalar.from_ints([x * k % L for x in ks]))
+    assert _affine(got) == _affine(want)
+
+
+@integration_test
+def point_msm(fabric):
+    """test_msm: authenticated MSM (shared scalars x shared points) over the
+    wire (`authenticated_curve.rs:785-818`)."""
+    rng = random.Random(131)
+    n = 2
+    ks = [rng.randrange(L) for _ in range(n)]
+    pts, ps = _rand_points(132, n)
+    sk = _share(fabric, ks, 0)
+    sp = fabric.share_points(pts if fabric.party_id == 1 else None,
+                             sender=1, n=n)
+    res = fabric.msm(sk, sp)
+    acc = sum(k * p for k, p in zip(ks, ps)) % L
+    want = CurvePoint.generator((1,)).mul(Scalar.from_ints([acc]))
+    assert _affine(fabric.open_authenticated_points(res.reshape(1))) \
+        == _affine(want)
+
+
+@integration_test
+def point_msm_public(fabric):
+    """msm with PUBLIC points — local kernel, no extra rounds
+    (`curve/curve.rs:616-657` msm_authenticated)."""
+    from ..fabric.points import msm_public_points
+
+    rng = random.Random(133)
+    n = 2
+    ks = [rng.randrange(L) for _ in range(n)]
+    pts, ps = _rand_points(134, n)
+    sk = _share(fabric, ks, 1)
+    res = msm_public_points(sk, pts)
+    acc = sum(k * p for k, p in zip(ks, ps)) % L
+    want = CurvePoint.generator((1,)).mul(Scalar.from_ints([acc]))
+    assert _affine(fabric.open_authenticated_points(res.reshape(1))) \
+        == _affine(want)
+
+
+@integration_test
+def circuit_inner_product(fabric):
+    """test_inner_product (`integration/src/circuits.rs`)."""
+    rng = random.Random(135)
+    n = 16
+    xs = [rng.randrange(L) for _ in range(n)]
+    ys = [rng.randrange(L) for _ in range(n)]
+    sx, sy = _share(fabric, xs, 0), _share(fabric, ys, 1)
+    tr = fabric.tracer()
+    ip = (tr.wrap(sx) * tr.wrap(sy)).sum()
+    o = ip.open()
+    tr.run()
+    want = sum(x * y for x, y in zip(xs, ys)) % L
+    assert o.value.to_ints() == [want]
+
+
+@integration_test
+def poly_eval(fabric):
+    """test_polynomial_eval: authenticated poly evaluated at a public point
+    (`authenticated_poly.rs` eval)."""
+    rng = random.Random(136)
+    coeffs = [rng.randrange(L) for _ in range(5)]
+    x = rng.randrange(L)
+    p = AuthenticatedDensePoly(_share(fabric, coeffs, 0))
+    got = fabric.open_authenticated(p.eval(Scalar.from_ints([x])))
+    want = 0
+    for c in reversed(coeffs):
+        want = (want * x + c) % L
+    assert got.to_ints() == [want]
+
+
+@integration_test
+def poly_div_public(fabric):
+    """Floor division of a shared poly by a public poly over the wire
+    (rev transform + Newton inverse, `authenticated_poly.rs:446-575`)."""
+    from ..algebra.poly import DensePoly, poly_div
+
+    rng = random.Random(137)
+    q = [rng.randrange(L) for _ in range(3)]
+    g = [rng.randrange(L) for _ in range(2)] + [1]  # monic divisor
+    rem = [rng.randrange(L) for _ in range(2)]
+    # f = q*g + rem  (deg f = 4)
+    f = [0] * 5
+    for i, qi in enumerate(q):
+        for j, gj in enumerate(g):
+            f[i + j] = (f[i + j] + qi * gj) % L
+    for i, ri in enumerate(rem):
+        f[i] = (f[i] + ri) % L
+    sf = AuthenticatedDensePoly(_share(fabric, f, 0))
+    quot = poly_div(fabric, sf, DensePoly.from_ints(g))
+    from ..algebra.poly import poly_open
+
+    assert poly_open(fabric, quot).to_ints()[:3] == q
+
+
+@integration_test
+def share_fft_roundtrip(fabric):
+    """Share-wise FFT/IFFT keeps the authenticated sharing valid
+    (`share.rs:168-191` fft_helper; `authenticated_scalar.rs:1010-1069`)."""
+    from ..algebra.domain import EvaluationDomain
+
+    rng = random.Random(138)
+    n = 12
+    xs = [rng.randrange(L) for _ in range(n)]
+    sx = _share(fabric, xs, 0)
+    dom = EvaluationDomain(n)
+    back = dom.fft_shares(dom.fft_shares(sx, forward=True), forward=False)
+    assert fabric.open_authenticated(back).to_ints() == xs
+
+
+@integration_test
+def offline_randomness_sources(fabric):
+    """The preprocessing passthroughs over the wire: shared bits are bits,
+    inverse pairs multiply to one, random shares open consistently
+    (`fabric.rs:876-978` sampling APIs)."""
+    bits = fabric.random_shared_bits(8)
+    ob = fabric.open_authenticated(bits)
+    assert all(b in (0, 1) for b in ob.to_ints())
+    r, r_inv = fabric.random_inverse_pairs(4)
+    prod = fabric.mul(r, r_inv)
+    assert fabric.open_authenticated(prod).to_ints() == [1] * 4
+    rv = fabric.random_shared_scalars(4)
+    fabric.open_authenticated(rv)  # MAC-checked open must pass
+
+
+@integration_test
 def malicious_bad_mac_aborts(fabric):
     rng = random.Random(120)
     xs = [rng.randrange(L) for _ in range(4)]

@@ -32,7 +32,7 @@ def test_integration_registry_over_tcp():
                           text=True)
     try:
         p0 = subprocess.run(cmd + ["--party", "0"], env=_env(), cwd=REPO,
-                            capture_output=True, text=True, timeout=900)
+                            capture_output=True, text=True, timeout=1800)
         out1, err1 = p1.communicate(timeout=120)
     finally:
         if p1.poll() is None:
