@@ -34,6 +34,14 @@ def integration_test(fn: Callable | None = None, *, name: str | None = None):
     return deco(fn) if fn is not None else deco
 
 
+def slow_integration_test(fn: Callable):
+    """Register a case that only runs when named explicitly via `--tests`
+    (minutes-long flows, e.g. the dealer-free LowGear e2e — the reference
+    likewise picks these with `--test` in its harness, `main.rs:81-98`)."""
+    fn.__slow__ = True
+    return integration_test(fn)
+
+
 def run_registry(fabric, only: list[str] | None = None,
                  log=None) -> dict[str, str]:
     """Execute every registered test against `fabric` in sorted-name order
@@ -45,6 +53,8 @@ def run_registry(fabric, only: list[str] | None = None,
     for name in sorted(REGISTRY):
         if only and name not in only:
             continue
+        if not only and getattr(REGISTRY[name], "__slow__", False):
+            continue  # slow cases run only when explicitly selected
         if log:
             log(f"[party {fabric.party_id}] {name} ...")
         try:

@@ -20,7 +20,7 @@ from ..algebra.scalar import Scalar
 from ..algebra.share import ScalarShare
 from ..fabric.errors import AuthenticationError
 from ..gadgets import bit_xor, bit_xor_public, prefix_product
-from . import integration_test
+from . import integration_test, slow_integration_test
 
 # ---------------------------------------------------------------------------
 # share / open family (`fabric.rs` + `authenticated_scalar.rs` tests)
@@ -462,6 +462,35 @@ def offline_randomness_sources(fabric):
     assert fabric.open_authenticated(prod).to_ints() == [1] * 4
     rv = fabric.random_shared_scalars(4)
     fabric.open_authenticated(rv)  # MAC-checked open must pass
+
+
+@slow_integration_test
+def lowgear_dealer_free_e2e(fabric):
+    """test_setup_and_run_circuit (`integration/src/lowgear.rs:15-51`): the
+    FULL dealer-free flow over the real wire — BGV key exchange + ZK proofs,
+    LowGear preprocessing at the prototype ring, then an online circuit over
+    a fresh fabric consuming the generated prep.  Minutes-long on CPU, so it
+    registers as a slow case (run via `--tests lowgear_dealer_free_e2e`;
+    `tests/test_integration_tcp.py` spawns it as its own process pair)."""
+    import numpy as np
+
+    from ..fabric.context import MpcFabric
+    from ..offline.lowgear.core import LowGear
+    from ..offline.structs import OfflineSizingParams
+
+    pid = fabric.party_id
+    lg = LowGear(pid, fabric.transport, mode="bgv",
+                 rng=np.random.default_rng(140 + pid))
+    lg.run_offline_phase(OfflineSizingParams(
+        num_triples=4, num_inverse_pairs=1, num_bits=1,
+        num_randomness=2, num_input_masks=2))
+    online = MpcFabric(pid, fabric.transport, lg.get_offline_result())
+    sx = online.share_values(
+        Scalar.from_ints([6, 7]) if pid == 0 else None, sender=0, n=2)
+    sy = online.share_values(
+        Scalar.from_ints([8, 9]) if pid == 1 else None, sender=1, n=2)
+    z = online.open_authenticated(online.mul(sx, sy))
+    assert z.to_ints() == [48, 63], z.to_ints()
 
 
 @integration_test
