@@ -276,6 +276,43 @@ class FieldArray:
             vals.append(v)
         return cls.from_ints(vals)
 
+    # -- biguint / radix-string conversions (`scalar.rs:109-139` to/from
+    # BigUint and radix strings) -- Python ints ARE arbitrary precision, so
+    # these are thin canonical wrappers over to_ints/from_ints.
+
+    def to_biguint(self) -> int:
+        """Canonical integer value (single element)."""
+        return self.to_int()
+
+    @classmethod
+    def from_biguint(cls, v: int):
+        """Integer (any size) reduced mod the field order."""
+        return cls.from_ints(int(v) % cls.spec.modulus)
+
+    @classmethod
+    def from_radix_string(cls, s: str, radix: int = 10):
+        """Parse a radix-`radix` string (2..36) and reduce mod the order
+        (`Scalar::from_radix_string` analog)."""
+        return cls.from_biguint(int(s.strip(), radix))
+
+    def to_radix_string(self, radix: int = 10) -> str:
+        v = self.to_biguint()
+        if radix == 10:
+            return str(v)
+        if radix == 16:
+            return format(v, "x")
+        if radix == 2:
+            return format(v, "b")
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+        if not 2 <= radix <= 36:
+            raise ValueError("radix must be in [2, 36]")
+        out = []
+        while True:
+            v, r = divmod(v, radix)
+            out.append(digits[r])
+            if v == 0:
+                return "".join(reversed(out))
+
     def __repr__(self):
         if self.size <= 4:
             return f"{type(self).__name__}({self.to_ints()})"

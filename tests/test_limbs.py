@@ -88,3 +88,28 @@ def test_batch_shapes():
     assert y.shape == (16, 3, 4)
     got = lb.unpack_ints(spec, y.reshape(16, 12))
     assert got == [(u * u) % spec.modulus for u in a]
+
+
+def test_scalar_serde_roundtrips():
+    """Byte / biguint / radix-string conversions (`scalar.rs:109-139,187-202`
+    serde + radix tests)."""
+    from ark_mpc_tpu.algebra.scalar import Scalar
+
+    vals = [0, 1, SCALAR_FIELD.modulus - 1] + rand_ints(SCALAR_FIELD, 5)
+    s = Scalar.from_ints(vals)
+    assert Scalar.from_bytes_le(s.to_bytes_le()).to_ints() == vals
+    # big-endian encoding feeds the commitment scheme: check chunk order
+    be = s.to_bytes_be()
+    assert len(be) == 32 * len(vals)
+    assert int.from_bytes(be[:32], "big") == vals[0]
+    # reduce-mod-order parse of an oversized BE value
+    big = (vals[3] + 7 * SCALAR_FIELD.modulus).to_bytes(40, "big")
+    assert Scalar.from_be_bytes_mod_order(big).to_int() == vals[3]
+    # biguint + radix strings
+    one = Scalar.from_ints(vals[3])
+    assert Scalar.from_biguint(one.to_biguint()).to_int() == vals[3]
+    for radix in (2, 10, 16, 36):
+        rs = one.to_radix_string(radix)
+        assert Scalar.from_radix_string(rs, radix).to_int() == vals[3]
+    with np.testing.assert_raises(ValueError):
+        Scalar.from_bytes_le(b"\xff" * 32)
