@@ -33,10 +33,10 @@ class PointShare:
         return self.share.size
 
     def __add__(self, other: "PointShare"):
-        return PointShare(self.share + other.share, self.mac + other.mac)
+        return _ps_add(self, other)
 
     def __sub__(self, other: "PointShare"):
-        return PointShare(self.share - other.share, self.mac - other.mac)
+        return _ps_sub(self, other)
 
     def __neg__(self):
         return PointShare(-self.share, -self.mac)
@@ -76,6 +76,18 @@ class PointShare:
 
     def __repr__(self):
         return f"PointShare(shape={self.shape})"
+
+
+# paired (share, mac) group ops: one dispatch per point-share op instead of
+# two group-law dispatches (same rationale as `share._add2`)
+@jax.jit
+def _ps_add(a: "PointShare", b: "PointShare") -> "PointShare":
+    return PointShare(a.share._add_raw(b.share), a.mac._add_raw(b.mac))
+
+
+@jax.jit
+def _ps_sub(a: "PointShare", b: "PointShare") -> "PointShare":
+    return PointShare(a.share._add_raw(-b.share), a.mac._add_raw(-b.mac))
 
 
 def scalar_share_mul_point(scalar_share, point: CurvePoint) -> PointShare:
