@@ -110,7 +110,8 @@ def windowed_mul_pallas(canon, px, py, pz, pt, block: int = WBLOCK,
     Per (16, block) tile: build the 16-entry multiples table of P once
     (VMEM-resident, cached form), then 64 window steps of 3 T-less doubles +
     1 full double + 1 cached add with a one-hot table select.  ~10.3 muls/
-    bit vs the plain ladder's 17 — measured ~1.6x (`benchmarks/msm.py`).
+    bit vs the plain ladder's 17 (~1.65x by op count; hardware numbers in
+    BASELINE.md's MSM table via `benchmarks/msm.py`).
     Same interface as `ladder_pallas`; reference analog of the windowed
     strategy: arkworks' scalar_mul windows (`curve.rs:546-584`).
 
