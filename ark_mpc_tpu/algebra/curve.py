@@ -107,10 +107,12 @@ class CurvePoint:
                      for i in range(4)))
 
     # -- group law ---------------------------------------------------------
-    # The arithmetic lives in `_add_raw`/`_double_raw` (traceable, inlined
-    # when called under an enclosing jit); the dunder entry points dispatch
-    # through jitted wrappers so an EAGER point op costs ONE dispatch
-    # instead of ~15 (each eager dispatch is a full tunnel RTT in sync mode).
+    # The arithmetic lives in `_add_raw`/`_double_raw`.  EAGER calls (not
+    # under any trace) dispatch through jitted wrappers so a point op costs
+    # ONE dispatch instead of ~15 (each eager dispatch is a full tunnel RTT
+    # in sync mode).  Under an enclosing trace the raw form is inlined
+    # directly — nesting a pjit per group op inside the big unrolled graphs
+    # (ladders, the point-Beaver combine) blows up the XLA CPU compiler.
 
     def _add_raw(self, other: "CurvePoint") -> "CurvePoint":
         """Complete unified addition (RFC 8032 §5.1.4)."""
@@ -134,17 +136,28 @@ class CurvePoint:
         f = c + g
         return CurvePoint(e * f, g * h, f * g, e * h)
 
+    def _eager(self, other=None) -> bool:
+        t = jax.core.Tracer
+        return not (isinstance(self.X.limbs, t) or
+                    (other is not None and isinstance(other.X.limbs, t)))
+
     def __add__(self, other: "CurvePoint") -> "CurvePoint":
-        return _group_add(self, other)
+        if self._eager(other):
+            return _group_add(self, other)
+        return self._add_raw(other)
 
     def double(self) -> "CurvePoint":
-        return _group_double(self)
+        if self._eager():
+            return _group_double(self)
+        return self._double_raw()
 
     def __neg__(self) -> "CurvePoint":
         return CurvePoint(-self.X, self.Y, self.Z, -self.T)
 
     def __sub__(self, other: "CurvePoint") -> "CurvePoint":
-        return _group_sub(self, other)
+        if self._eager(other):
+            return _group_sub(self, other)
+        return self._add_raw(-other)
 
     def select(self, mask, other: "CurvePoint") -> "CurvePoint":
         """Element-wise: mask ? self : other (mask shape = batch shape)."""

@@ -33,10 +33,14 @@ class PointShare:
         return self.share.size
 
     def __add__(self, other: "PointShare"):
-        return _ps_add(self, other)
+        if self.share._eager(other.share):
+            return _ps_add(self, other)
+        return PointShare(self.share + other.share, self.mac + other.mac)
 
     def __sub__(self, other: "PointShare"):
-        return _ps_sub(self, other)
+        if self.share._eager(other.share):
+            return _ps_sub(self, other)
+        return PointShare(self.share - other.share, self.mac - other.mac)
 
     def __neg__(self):
         return PointShare(-self.share, -self.mac)

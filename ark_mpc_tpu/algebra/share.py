@@ -32,7 +32,14 @@ PARTY1 = 1
 # which is the dominant cost for small batches: JAX dispatch overhead on
 # CPU (the tracer's gate_throughput path), and a full tunnel round trip per
 # dispatch in eager sync mode on TPU.  Broadcasting happens inside the jit
-# so it fuses instead of costing its own dispatch.
+# so it fuses instead of costing its own dispatch.  The pair kernels are
+# used only for EAGER operands: under an enclosing trace the plain Scalar
+# ops inline instead, so big traced graphs don't gain a pjit nesting level
+# (deeply nested pjits blow up the XLA CPU compiler).
+
+
+def _tracer(*arrays) -> bool:
+    return any(isinstance(a, jax.core.Tracer) for a in arrays)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -82,16 +89,22 @@ class ScalarShare:
 
     # -- linear algebra (local; `share.rs:85-133`) -------------------------
     def __add__(self, other: "ScalarShare"):
+        if _tracer(self.share.limbs, other.share.limbs):
+            return ScalarShare(self.share + other.share, self.mac + other.mac)
         s, m = _add2(Scalar.spec, self.share.limbs, self.mac.limbs,
                      other.share.limbs, other.mac.limbs)
         return ScalarShare(Scalar(s), Scalar(m))
 
     def __sub__(self, other: "ScalarShare"):
+        if _tracer(self.share.limbs, other.share.limbs):
+            return ScalarShare(self.share - other.share, self.mac - other.mac)
         s, m = _sub2(Scalar.spec, self.share.limbs, self.mac.limbs,
                      other.share.limbs, other.mac.limbs)
         return ScalarShare(Scalar(s), Scalar(m))
 
     def __neg__(self):
+        if _tracer(self.share.limbs):
+            return ScalarShare(-self.share, -self.mac)
         s, m = _neg2(Scalar.spec, self.share.limbs, self.mac.limbs)
         return ScalarShare(Scalar(s), Scalar(m))
 
@@ -99,6 +112,8 @@ class ScalarShare:
         """Multiply by a public value: scales share and MAC (`share.rs:124-133`)."""
         if isinstance(rhs, int):
             rhs = Scalar.from_ints(rhs)
+        if _tracer(self.share.limbs, rhs.limbs):
+            return ScalarShare(self.share * rhs, self.mac * rhs)
         s, m = _mul2(Scalar.spec, self.share.limbs, self.mac.limbs, rhs.limbs)
         return ScalarShare(Scalar(s), Scalar(m))
 
@@ -112,6 +127,9 @@ class ScalarShare:
     def add_public(self, rhs: Scalar, mac_key: Scalar, party_id: int):
         """Add a public value (`share.rs:74-78`): party 0 updates the share,
         both parties update the MAC by `mac_key_share * rhs`."""
+        if _tracer(self.share.limbs, rhs.limbs, mac_key.limbs):
+            share = self.share + rhs if party_id == PARTY0 else self.share
+            return ScalarShare(share, self.mac + mac_key * rhs)
         s, m = _add_public2(Scalar.spec, self.share.limbs, self.mac.limbs,
                             rhs.limbs, mac_key.limbs, party_id == PARTY0)
         return ScalarShare(Scalar(s), Scalar(m))

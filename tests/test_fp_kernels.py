@@ -124,3 +124,77 @@ def test_windowed_pallas_interpret():
     wx, wy = want.to_affine()
     assert gx.to_ints() == wx.to_ints()
     assert gy.to_ints() == wy.to_ints()
+
+
+@pytest.mark.skipif(os.environ.get("RUN_TPU_KERNEL_TESTS") != "1",
+                    reason="Pallas interpreter needs >20 min for the chained "
+                           "kernel even at one tile; validated on TPU "
+                           "(benchmarks/chain_kernel_check.py + bench.py)")
+def test_beaver_chain_pallas_interpret():
+    """The headline chained mega-kernel (`beaver_chain_pallas`) vs the
+    per-round fused-step reference, in interpret mode at one tile
+    (n=1024, 2 rounds): final authenticated outputs AND every round's
+    three MAC-check fold inner products must match exactly.  Mirrors the
+    on-hardware check in `benchmarks/chain_kernel_check.py`."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ark_mpc_tpu.algebra.fields import SCALAR_FIELD as spec
+    from ark_mpc_tpu.algebra.scalar import Scalar
+    from ark_mpc_tpu.offline.base import TrustedDealerSource
+    from ark_mpc_tpu.ops.fp_kernels import (
+        beaver_chain_pallas,
+        fold_columns_reduce,
+        mont_mul_pallas,
+    )
+    from ark_mpc_tpu.parallel.step import beaver_mul_step
+
+    n, rounds = 1024, 2
+    rng = np.random.default_rng(7)
+    dealer = TrustedDealerSource(0, seed=42)
+    key0 = dealer.get_mac_key_share()
+    key1 = dealer._mac_key_shares[1]
+    x = Scalar.random(n, rng)
+    y = Scalar.random(n, rng)
+    x0, x1 = dealer._deal(x)
+    y0, y1 = dealer._deal(y)
+    av, bv = Scalar.random(n, rng), Scalar.random(n, rng)
+    a0, a1 = dealer._deal(av)
+    b0, b1 = dealer._deal(bv)
+    c0, c1 = dealer._deal(av * bv)
+    cf = Scalar.random(n, rng)
+
+    e = (y0 - b0).share + (y1 - b1).share
+    ea0 = Scalar(mont_mul_pallas(spec, e.limbs, a0.share.limbs))
+    ea1 = Scalar(mont_mul_pallas(spec, e.limbs, a1.share.limbs))
+    eam0 = Scalar(mont_mul_pallas(spec, e.limbs, a0.mac.limbs))
+    eam1 = Scalar(mont_mul_pallas(spec, e.limbs, a1.mac.limbs))
+    k0b = jnp.broadcast_to(key0.limbs.reshape(16, 1), (16, 128))
+    k1b = jnp.broadcast_to(key1.limbs.reshape(16, 1), (16, 128))
+    xf0_l, xf1_l, fold = beaver_chain_pallas(
+        spec, rounds, x0.share.limbs, x1.share.limbs, e.limbs,
+        a0.share.limbs, a1.share.limbs, b0.share.limbs, b1.share.limbs,
+        b0.mac.limbs, b1.mac.limbs,
+        c0.share.limbs, c1.share.limbs, c0.mac.limbs, c1.mac.limbs,
+        ea0.limbs, ea1.limbs, eam0.limbs, eam1.limbs, k0b, k1b, cf.limbs)
+
+    want_v, want_m0, want_m1 = [], [], []
+    cx0, cx1 = x0, x1
+    for _ in range(rounds):
+        d = (cx0 - a0).share + (cx1 - a1).share
+        z0 = beaver_mul_step(0, cx0, y0, a0, b0, c0, d, e, key0)
+        z1 = beaver_mul_step(1, cx1, y1, a1, b1, c1, d, e, key1)
+        v = z0.share + z1.share
+        want_v.append((cf * v).sum())
+        want_m0.append((cf * z0.mac).sum())
+        want_m1.append((cf * z1.mac).sum())
+        cx0, cx1 = z0, z1
+
+    assert bool(jnp.all(xf0_l == cx0.share.limbs))
+    assert bool(jnp.all(xf1_l == cx1.share.limbs))
+    got = fold_columns_reduce(spec, fold)  # (16, rounds, 3)
+    for r in range(rounds):
+        for which, want in ((0, want_v[r]), (1, want_m0[r]),
+                            (2, want_m1[r])):
+            assert Scalar(got[:, r, which]).to_ints() == want.to_ints(), \
+                f"fold[{r},{which}] mismatch"
