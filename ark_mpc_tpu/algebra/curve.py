@@ -73,6 +73,25 @@ class CurvePoint:
         return cls.from_affine_ints(GEN_X, GEN_Y).broadcast_to(shape)
 
     @classmethod
+    def random(cls, shape=(), rng=None):
+        """Uniform random prime-subgroup points (`curve.rs` `random()`):
+        hash-to-curve of CSPRNG bytes, so discrete logs are unknown even
+        to the sampler (unlike `generator() * Scalar.random()`)."""
+        shape = (shape,) if isinstance(shape, int) else tuple(shape)
+        n = 1
+        for s in shape:
+            n *= s
+        if rng is None:
+            import secrets
+
+            seed = secrets.token_bytes(32)
+        else:
+            seed = rng.integers(0, 1 << 62, 4, dtype=np.uint64).tobytes()
+        pt = hash_to_curve(seed, n)
+        return pt if shape == (n,) else CurvePoint(
+            *(c.reshape(shape) for c in pt._coords()))
+
+    @classmethod
     def from_affine(cls, x: BaseFelt, y: BaseFelt):
         return cls(x, y, BaseFelt.ones(x.shape), x * y)
 

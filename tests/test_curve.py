@@ -105,6 +105,22 @@ def test_hash_to_curve_on_curve():
     assert all(bool(b) for b in z.is_identity())
 
 
+def test_random_points():
+    """`CurvePoint.random` (analog of `curve.rs` `random()`): on-curve,
+    distinct, deterministic under an injected rng, fresh otherwise."""
+    import numpy as np
+
+    pts = CurvePoint.random(3, np.random.default_rng(9))
+    coords = affine_ints(pts)
+    for x, y in coords:
+        assert (-x * x + y * y) % P == (1 + ED_D * x * x % P * y * y) % P
+    assert len(set(coords)) == 3
+    again = CurvePoint.random(3, np.random.default_rng(9))
+    assert affine_ints(again) == coords
+    fresh = CurvePoint.random(3)
+    assert affine_ints(fresh) != coords
+
+
 def test_msm_pippenger():
     """`CurvePoint.msm` above the cutoff routes to the sort+scan Pippenger
     (`_msm_pippenger`); validate against the exact python-int model,
