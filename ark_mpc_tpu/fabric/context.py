@@ -520,6 +520,13 @@ class MpcFabric:
 
         return Tracer(self)
 
+    def num_ops(self) -> int:
+        """Total fabric operations executed so far (`fabric.rs:480-484`
+        `num_gates` analog; requires `collect_stats=True`, else 0)."""
+        if self.stats is None:
+            return 0
+        return sum(self.stats.op_counts.values())
+
     def shutdown(self):
         self.transport.close()
 

@@ -20,6 +20,7 @@ def test_fabric_stats_dump():
             sender=0, n=2)
         sq = fab.mul(sx, sx)
         fab.open_authenticated(sq)
+        assert fab.num_ops() >= 3  # num_gates analog (`fabric.rs:480-484`)
         return fab.stats.snapshot(fab.transport.stats)
 
     s0, s1 = execute_mock_mpc_dealer(prog)
