@@ -242,8 +242,23 @@ def _beaver_point_combine_core(a: ScalarShare, b_gen: PointShare,
 
 
 def _beaver_point_combine(party_id, a, b_gen, c, d, e_pt, mac_key):
-    return _beaver_point_combine_core(a, b_gen, c, d, e_pt, mac_key,
-                                      party_id == 0)
+    # On TPU the fused jit = ONE dispatch for the whole combine (the
+    # tunnel RTT dominates).  On CPU that same jit inlines ~7 independent
+    # 256-step ladders into one XLA graph and compiles for ~3 minutes;
+    # composing the already-jitted primitives eagerly instead reuses the
+    # single cached ladder compile (~14 s total, shared with every other
+    # point op).
+    if jax.default_backend() == "tpu":
+        return _beaver_point_combine_core(a, b_gen, c, d, e_pt, mac_key,
+                                          party_id == 0)
+    term_db = b_gen.mul_public(d)
+    term_ae = scalar_share_mul_point(a, e_pt)
+    term_c = scalar_share_mul_point(c, CurvePoint.generator(c.shape))
+    res = term_db + term_ae + term_c
+    de = e_pt.mul(d)
+    share = res.share + de if party_id == 0 else res.share
+    mac = res.mac + de.mul(mac_key)
+    return PointShare(share, mac)
 
 
 def msm_authenticated(fabric: MpcFabric, scalars: ScalarShare,

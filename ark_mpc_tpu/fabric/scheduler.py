@@ -405,10 +405,19 @@ class Tracer:
 
         # round-by-round: batch ALL muls (and invs) of one depth level into
         # single fused protocol calls; mid-circuit opens (materialized via
-        # `TracedOpen.as_public`) flush per level as ONE authenticated open
+        # `TracedOpen.as_public`) flush per level as ONE authenticated open.
+        # Bucket comm nodes by (level, op) once — a scan of `order` per
+        # level is quadratic in circuit depth (the reference exercises
+        # 10k-deep mul chains, `circuit_mul_throughput.rs:11-44`).
+        by_level: dict[int, dict[str, list[_Node]]] = {}
+        for n in order:
+            if n.op in COMM:
+                by_level.setdefault(
+                    depth[n.nid], {}).setdefault(n.op, []).append(n)
+
         for level in range(1, max_depth + 1):
-            mids = [n for n in order
-                    if n.op == "open" and depth[n.nid] == level]
+            lv = by_level.get(level, {})
+            mids = lv.get("open", [])
             if mids:
                 flat = [eval_local(n.deps[0]).reshape(_numel(n))
                         for n in mids]
@@ -419,8 +428,8 @@ class Tracer:
                 for n, k in zip(mids, sizes):
                     values[n.nid] = opened[off: off + k].reshape(*n.shape)
                     off += k
-            muls = [n for n in order if n.op == "mul" and depth[n.nid] == level]
-            invs = [n for n in order if n.op == "inv" and depth[n.nid] == level]
+            muls = lv.get("mul", [])
+            invs = lv.get("inv", [])
             if muls:
                 lhs = [eval_local(n.deps[0]).reshape(_numel(n)) for n in muls]
                 rhs = [eval_local(n.deps[1]).reshape(_numel(n)) for n in muls]
@@ -442,8 +451,7 @@ class Tracer:
                     k = _numel(n)
                     values[n.nid] = big[off : off + k]
                     off += k
-            pmuls = [n for n in order
-                     if n.op == "pmul" and depth[n.nid] == level]
+            pmuls = lv.get("pmul", [])
             if pmuls:
                 from ..algebra.point_share import PointShare
 
