@@ -74,9 +74,11 @@ class CurvePoint:
 
     @classmethod
     def random(cls, shape=(), rng=None):
-        """Uniform random prime-subgroup points (`curve.rs` `random()`):
-        hash-to-curve of CSPRNG bytes, so discrete logs are unknown even
-        to the sampler (unlike `generator() * Scalar.random()`)."""
+        """Uniform random prime-subgroup points via hash-to-curve of
+        CSPRNG bytes (the `curve.rs:143-167` `from_uniform_bytes` map),
+        so discrete logs are unknown even to the sampler.  Intentionally
+        STRONGER than the reference's `random_point()` (which returns
+        `generator * Scalar::random()`, a known-dlog point)."""
         shape = (shape,) if isinstance(shape, int) else tuple(shape)
         n = 1
         for s in shape:
@@ -86,7 +88,7 @@ class CurvePoint:
 
             seed = secrets.token_bytes(32)
         else:
-            seed = rng.integers(0, 1 << 62, 4, dtype=np.uint64).tobytes()
+            seed = rng.bytes(32)  # full 256-bit seed space
         pt = hash_to_curve(seed, n)
         return pt if shape == (n,) else CurvePoint(
             *(c.reshape(shape) for c in pt._coords()))

@@ -522,7 +522,12 @@ class MpcFabric:
 
     def num_ops(self) -> int:
         """Total fabric operations executed so far (`fabric.rs:480-484`
-        `num_gates` analog; requires `collect_stats=True`, else 0)."""
+        `num_gates` analog; requires `collect_stats=True`, else 0).
+
+        NOTE: counts FUSED protocol invocations, not per-gate allocations —
+        one `mul` over a batch of 2^20 elements counts as 1, where the
+        reference's `num_gates` would count every allocated op id.  The
+        batch-first design has no per-element gate allocation to count."""
         if self.stats is None:
             return 0
         return sum(self.stats.op_counts.values())

@@ -226,8 +226,7 @@ def beaver_mul_points(fabric: MpcFabric, x: ScalarShare,
 import functools
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
-def _beaver_point_combine_core(a: ScalarShare, b_gen: PointShare,
+def _beaver_point_combine_body(a: ScalarShare, b_gen: PointShare,
                                c: ScalarShare, d: Scalar, e_pt: CurvePoint,
                                mac_key: Scalar, party_is_0: bool):
     # d*[bG] + [a]*E + [c]*G  then add_public(d*E)
@@ -241,6 +240,10 @@ def _beaver_point_combine_core(a: ScalarShare, b_gen: PointShare,
     return PointShare(share, mac)
 
 
+_beaver_point_combine_core = functools.partial(jax.jit, static_argnums=(6,))(
+    _beaver_point_combine_body)
+
+
 def _beaver_point_combine(party_id, a, b_gen, c, d, e_pt, mac_key):
     # On TPU the fused jit = ONE dispatch for the whole combine (the
     # tunnel RTT dominates).  On CPU that same jit inlines ~7 independent
@@ -251,14 +254,8 @@ def _beaver_point_combine(party_id, a, b_gen, c, d, e_pt, mac_key):
     if jax.default_backend() == "tpu":
         return _beaver_point_combine_core(a, b_gen, c, d, e_pt, mac_key,
                                           party_id == 0)
-    term_db = b_gen.mul_public(d)
-    term_ae = scalar_share_mul_point(a, e_pt)
-    term_c = scalar_share_mul_point(c, CurvePoint.generator(c.shape))
-    res = term_db + term_ae + term_c
-    de = e_pt.mul(d)
-    share = res.share + de if party_id == 0 else res.share
-    mac = res.mac + de.mul(mac_key)
-    return PointShare(share, mac)
+    return _beaver_point_combine_body(a, b_gen, c, d, e_pt, mac_key,
+                                      party_id == 0)
 
 
 def msm_authenticated(fabric: MpcFabric, scalars: ScalarShare,

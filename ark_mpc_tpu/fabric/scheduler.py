@@ -20,38 +20,58 @@ communication; on TPU both are better served *statically*:
     with a deferred MAC check — the scheduler preserves the reference's
     4-messages-per-round property (`authenticated_scalar.rs:278-354`) at
     *program* granularity;
-  - linear gates cost no rounds and evaluate as fused vectorized kernels
-    between flushes.
+  - linear gates cost no rounds — and no per-gate kernel dispatches:
+    communication-free ops with STATIC coefficients (add/sub/neg,
+    mul/add by trace-time constants) fold symbolically into affine forms
+    `sum_i c_i * [base_i] + public`, so a million-gate add chain
+    (`fabric.rs:986-1002`, `benches/gate_throughput.rs`) materializes as
+    ONE fused kernel combine instead of a million tiny dispatches.  Forms
+    are capped at `_MAX_TERMS` bases; larger fan-ins materialize
+    intermediate bases, bounding both memory and combine cost.
+
+Nodes register with their tracer at creation, so creation order IS a
+topological order (a `TracedShare` cannot reference a node made after it);
+leveling is two linear passes (reachability backward, depth forward) with
+no recursion and no per-node stack traffic — the reference executes 10M
+serial gates in its traced benchmark (`benches/gate_throughput_traced.rs:
+20-40`) and this tracer must not be the bottleneck at that scale.
 """
 
 from __future__ import annotations
 
-import itertools
-from dataclasses import dataclass, field
-
+from ..algebra.fields import CURVE25519_ORDER as _L_MOD
 from ..algebra.scalar import Scalar
 from ..algebra.share import ScalarShare
 from .context import MpcFabric
 
-_ids = itertools.count()
+# ops whose output is an affine function of share-typed deps with
+# coefficients known at TRACE time (payload constants); these fold into
+# symbolic forms and cost zero dispatches per gate
+_LINEAR = frozenset(("add", "sub", "neg", "mul_pub", "add_pub"))
+_COMM = frozenset(("mul", "inv", "pmul", "open"))
+_MAX_TERMS = 12  # affine-form width cap: wider fan-ins materialize a base
 
 
-@dataclass(eq=False)
 class _Node:
+    __slots__ = ("op", "deps", "payload", "shape", "nid")
+
     # share ops:  input | add | sub | neg | mul_pub | add_pub | mul | inv
     #             | sum | mul_pubv | add_pubv | sub_pubv | rsub_pubv
     # point ops:  pinput | padd | psub | pneg | pmul_pub | pmul | psum
     # public ops: open | pub_add | pub_sub | pub_mul | pub_neg | pub_c
     #             | pub_fn
-    op: str
-    deps: tuple
-    payload: object = None
-    shape: tuple = ()
-    nid: int = field(default_factory=lambda: next(_ids))
+    def __init__(self, op, deps, payload, shape, nid):
+        self.op = op
+        self.deps = deps
+        self.payload = payload
+        self.shape = shape
+        self.nid = nid
 
 
 class TracedShare:
     """Symbolic authenticated share batch inside a traced circuit."""
+
+    __slots__ = ("tracer", "node", "shape")
 
     def __init__(self, tracer: "Tracer", node: _Node, shape: tuple):
         self.tracer = tracer
@@ -135,7 +155,6 @@ class TracedShare:
         return self.tracer.open(self)
 
 
-@dataclass(eq=False)
 class TracedOpen:
     """Handle to a value that will be opened at flush time.
 
@@ -145,14 +164,18 @@ class TracedOpen:
     levels flush mid-circuit at their communication level; terminal opens
     still flush together once at the end."""
 
-    source: TracedShare
-    value: Scalar | None = None
-    node: object = None  # the "open" _Node, once as_public() materializes it
+    __slots__ = ("source", "value", "node")
+
+    def __init__(self, source: TracedShare):
+        self.source = source
+        self.value: Scalar | None = None
+        self.node = None  # the "open" _Node, once as_public() materializes
 
     def as_public(self) -> "TracedPublic":
         if self.node is None:
-            self.node = _Node("open", (self.source.node,), None,
-                              self.source.node.shape)
+            tr = self.source.tracer
+            self.node = tr._new_node("open", (self.source.node,), None,
+                                     self.source.node.shape)
         return TracedPublic(self.source.tracer, self.node,
                             self.source.shape)
 
@@ -161,6 +184,8 @@ class TracedPublic:
     """Symbolic PUBLIC value inside a trace (an opened value or a function
     of one).  All arithmetic is communication-free; `apply` lifts any
     Scalar -> Scalar function (e.g. `Scalar.inverse`, prefix scans)."""
+
+    __slots__ = ("tracer", "node", "shape")
 
     def __init__(self, tracer: "Tracer", node: _Node, shape: tuple):
         self.tracer = tracer
@@ -172,7 +197,9 @@ class TracedPublic:
             return other
         if isinstance(other, Scalar):
             return TracedPublic(
-                self.tracer, _Node("pub_c", (), other, tuple(other.shape)),
+                self.tracer,
+                self.tracer._new_node("pub_c", (), other,
+                                      tuple(other.shape)),
                 other.shape)
         return None
 
@@ -182,8 +209,9 @@ class TracedPublic:
         o = self._lift(other)
         if o is None:
             return NotImplemented
-        return TracedPublic(self.tracer,
-                            _Node("pub_add", (self.node, o.node), None,
+        return TracedPublic(
+            self.tracer,
+            self.tracer._new_node("pub_add", (self.node, o.node), None,
                                   self.node.shape), self.shape)
 
     __radd__ = __add__
@@ -195,13 +223,15 @@ class TracedPublic:
         o = self._lift(other)
         if o is None:
             return NotImplemented
-        return TracedPublic(self.tracer,
-                            _Node("pub_sub", (self.node, o.node), None,
+        return TracedPublic(
+            self.tracer,
+            self.tracer._new_node("pub_sub", (self.node, o.node), None,
                                   self.node.shape), self.shape)
 
     def __neg__(self):
-        return TracedPublic(self.tracer,
-                            _Node("pub_neg", (self.node,), None,
+        return TracedPublic(
+            self.tracer,
+            self.tracer._new_node("pub_neg", (self.node,), None,
                                   self.node.shape), self.shape)
 
     def __mul__(self, other):
@@ -210,8 +240,9 @@ class TracedPublic:
         o = self._lift(other)
         if o is None:
             return NotImplemented
-        return TracedPublic(self.tracer,
-                            _Node("pub_mul", (self.node, o.node), None,
+        return TracedPublic(
+            self.tracer,
+            self.tracer._new_node("pub_mul", (self.node, o.node), None,
                                   self.node.shape), self.shape)
 
     __rmul__ = __mul__
@@ -220,9 +251,10 @@ class TracedPublic:
         """Arbitrary public post-processing of an opened value: `fn` maps
         the concrete `Scalar` to a `Scalar` at flush time."""
         shape = self.shape if shape is None else shape
-        return TracedPublic(self.tracer,
-                            _Node("pub_fn", (self.node,), fn, tuple(shape)),
-                            shape)
+        return TracedPublic(
+            self.tracer,
+            self.tracer._new_node("pub_fn", (self.node,), fn, tuple(shape)),
+            shape)
 
     def inverse(self) -> "TracedPublic":
         return self.apply(lambda s: s.inverse())
@@ -233,6 +265,8 @@ class TracedPointShare:
     (the `AuthenticatedPointResult` role).  Linear ops are free; scalar x
     point Beaver multiplications fuse per communication level like scalar
     muls; point opens flush together."""
+
+    __slots__ = ("tracer", "node", "shape")
 
     def __init__(self, tracer: "Tracer", node: _Node, shape: tuple):
         self.tracer = tracer
@@ -266,10 +300,12 @@ class TracedPointShare:
         return handle
 
 
-@dataclass(eq=False)
 class TracedPointOpen:
-    source: TracedPointShare
-    value: object | None = None  # CurvePoint after run()
+    __slots__ = ("source", "value")
+
+    def __init__(self, source: TracedPointShare):
+        self.source = source
+        self.value = None  # CurvePoint after run()
 
 
 class Tracer:
@@ -279,23 +315,30 @@ class Tracer:
         self.fabric = fabric
         self.opens: list[TracedOpen] = []
         self.point_opens: list[TracedPointOpen] = []
+        self.nodes: list[_Node] = []  # creation order == topological order
+
+    def _new_node(self, op, deps, payload, shape) -> _Node:
+        nodes = self.nodes
+        n = _Node(op, deps, payload, shape, len(nodes))
+        nodes.append(n)
+        return n
 
     def wrap(self, share: ScalarShare) -> TracedShare:
-        return TracedShare(
-            self, _Node("input", (), share, tuple(share.shape)), share.shape
-        )
+        node = self._new_node("input", (), share, tuple(share.shape))
+        return TracedShare(self, node, share.shape)
 
     def wrap_points(self, share) -> TracedPointShare:
-        return TracedPointShare(
-            self, _Node("pinput", (), share, tuple(share.shape)), share.shape
-        )
+        node = self._new_node("pinput", (), share, tuple(share.shape))
+        return TracedPointShare(self, node, share.shape)
 
     def _mk(self, op, deps, payload, shape) -> TracedShare:
-        node = _Node(op, tuple(d.node for d in deps), payload, tuple(shape))
+        node = self._new_node(op, tuple(d.node for d in deps), payload,
+                              tuple(shape))
         return TracedShare(self, node, shape)
 
     def _mkp(self, op, deps, payload, shape) -> TracedPointShare:
-        node = _Node(op, tuple(d.node for d in deps), payload, tuple(shape))
+        node = self._new_node(op, tuple(d.node for d in deps), payload,
+                              tuple(shape))
         return TracedPointShare(self, node, shape)
 
     def open(self, ts: TracedShare) -> TracedOpen:
@@ -312,109 +355,204 @@ class Tracer:
         roots = ([o.node for o in outputs]
                  + [(h.node or h.source.node) for h in self.opens]
                  + [h.source.node for h in self.point_opens])
+        nodes = self.nodes
+        n_nodes = len(nodes)
 
-        depth: dict[int, int] = {}
-        order: list[_Node] = []
-        seen: set[int] = set()
-        COMM = ("mul", "inv", "pmul", "open")
+        # ---- pass 1 (backward): reachability from the roots --------------
+        marked = bytearray(n_nodes)
+        for r in roots:
+            marked[r.nid] = 1
+        for i in range(n_nodes - 1, -1, -1):
+            if marked[i]:
+                for d in nodes[i].deps:
+                    marked[d.nid] = 1
 
-        # Iterative post-order traversal (the reference tests 1M-gate
-        # chains, `fabric.rs:986-1002`; recursion would blow the Python
-        # stack at ~1k depth).
-        stack: list[tuple[_Node, bool]] = [(r, False) for r in roots]
-        while stack:
-            n, ready = stack.pop()
-            if ready:
-                dd = max((depth[d.nid] for d in n.deps), default=0)
-                depth[n.nid] = dd + (1 if n.op in COMM else 0)
-                order.append(n)
-                continue
-            if n.nid in seen:
-                continue
-            seen.add(n.nid)
-            stack.append((n, True))
-            for d in n.deps:
-                if d.nid not in seen:
-                    stack.append((d, False))
-
+        # ---- pass 2 (forward): depth + symbolic affine forms --------------
+        # forms[i] = (terms: {base_nid: int|Scalar}, pub: Scalar|None) for
+        # share-typed nodes; None for point/public/apply-evaluated nodes.
+        # mat_form[i] keeps the original form of a node that was forced to
+        # become a base (fan-in cap) so its VALUE can still be combined.
         values: dict[int, object] = {}
-        max_depth = max(depth.values(), default=0)
+        forms: list = [None] * n_nodes
+        mat_form: dict[int, tuple] = {}
+        depth = [0] * n_nodes
+        by_level: dict[int, dict[str, list[_Node]]] = {}
+        max_depth = 0
+
+        def as_base(n: _Node):
+            i = n.nid
+            f = forms[i]
+            if f is None or (len(f[0]) == 1 and f[1] is None
+                             and i in f[0]):
+                return
+            mat_form[i] = f
+            forms[i] = ({i: 1}, None)
+
+        for i in range(n_nodes):
+            if not marked[i]:
+                continue
+            n = nodes[i]
+            op = n.op
+            deps = n.deps
+            d = 0
+            for dep in deps:
+                dd = depth[dep.nid]
+                if dd > d:
+                    d = dd
+            if op in _COMM:
+                d += 1
+                if d > max_depth:
+                    max_depth = d
+                by_level.setdefault(d, {}).setdefault(op, []).append(n)
+            depth[i] = d
+            if op == "input":
+                values[i] = n.payload
+                forms[i] = ({i: 1}, None)
+            elif op == "add" or op == "sub":
+                fa = forms[deps[0].nid]
+                fb = forms[deps[1].nid]
+                if len(fa[0]) + len(fb[0]) > _MAX_TERMS:
+                    # materialize the wider operand as a fresh base
+                    as_base(deps[0] if len(fa[0]) >= len(fb[0]) else deps[1])
+                    fa = forms[deps[0].nid]
+                    fb = forms[deps[1].nid]
+                terms = dict(fa[0])
+                if op == "add":
+                    for b, c in fb[0].items():
+                        terms[b] = terms[b] + c if b in terms else c
+                    pa, pb = fa[1], fb[1]
+                    pub = pa if pb is None else (pb if pa is None
+                                                 else pa + pb)
+                else:
+                    for b, c in fb[0].items():
+                        terms[b] = terms[b] - c if b in terms else (
+                            -c if isinstance(c, int) else -c)
+                    pa, pb = fa[1], fb[1]
+                    pub = pa if pb is None else (-pb if pa is None
+                                                 else pa - pb)
+                forms[i] = (terms, pub)
+            elif op == "neg":
+                f = forms[deps[0].nid]
+                forms[i] = ({b: -c for b, c in f[0].items()},
+                            None if f[1] is None else -f[1])
+            elif op == "mul_pub":
+                f = forms[deps[0].nid]
+                k = n.payload
+                terms = {}
+                for b, c in f[0].items():
+                    terms[b] = k if (isinstance(c, int) and c == 1) \
+                        else _coeff_mul(c, k)
+                forms[i] = (terms, None if f[1] is None else f[1] * k)
+            elif op == "add_pub":
+                f = forms[deps[0].nid]
+                forms[i] = (f[0],  # shared dict: add_pub never mutates terms
+                            n.payload if f[1] is None else f[1] + n.payload)
+            elif op in ("mul", "inv", "sum", "mul_pubv", "add_pubv",
+                        "sub_pubv", "rsub_pubv"):
+                # share-typed but not statically linear: becomes a base;
+                # value computed by the round loop (comm) or apply path
+                forms[i] = ({i: 1}, None)
+            elif op == "pinput":
+                values[i] = n.payload
+            # point/public ops: forms stay None (apply path)
+
+        fabric = self.fabric
+
+        def combine(form) -> ScalarShare:
+            terms, pub = form
+            acc = None
+            for b, c in terms.items():
+                base = values[b]
+                if isinstance(c, int):
+                    if c == 1:
+                        t = base
+                    elif c == -1:
+                        t = -base
+                    else:
+                        t = base.mul_public(Scalar.from_ints(c % _L_MOD))
+                else:
+                    t = base.mul_public(c)
+                acc = t if acc is None else acc + t
+            if pub is not None:
+                acc = acc.add_public(pub, fabric.mac_key, fabric.party_id)
+            return acc
 
         def apply_op(n: _Node, deps: list) -> object:
-            if n.op in ("input", "pinput"):
-                return n.payload
-            if n.op in ("add", "padd"):
+            op = n.op
+            if op in ("padd",):
                 return deps[0] + deps[1]
-            if n.op in ("sub", "psub"):
+            if op in ("psub",):
                 return deps[0] - deps[1]
-            if n.op in ("neg", "pneg"):
+            if op in ("pneg",):
                 return -deps[0]
-            if n.op in ("mul_pub", "pmul_pub"):
+            if op in ("pmul_pub",):
                 return deps[0].mul_public(n.payload)
-            if n.op == "add_pub":
-                return deps[0].add_public(
-                    n.payload, self.fabric.mac_key, self.fabric.party_id)
-            if n.op in ("sum", "psum"):
+            if op in ("sum", "psum"):
                 return deps[0].sum()
             # share (x) opened-public ops
-            if n.op == "mul_pubv":
+            if op == "mul_pubv":
                 return deps[0].mul_public(deps[1])
-            if n.op == "add_pubv":
+            if op == "add_pubv":
                 return deps[0].add_public(
-                    deps[1], self.fabric.mac_key, self.fabric.party_id)
-            if n.op == "sub_pubv":
+                    deps[1], fabric.mac_key, fabric.party_id)
+            if op == "sub_pubv":
                 return deps[0].add_public(
-                    -deps[1], self.fabric.mac_key, self.fabric.party_id)
-            if n.op == "rsub_pubv":
+                    -deps[1], fabric.mac_key, fabric.party_id)
+            if op == "rsub_pubv":
                 return (-deps[0]).add_public(
-                    deps[1], self.fabric.mac_key, self.fabric.party_id)
+                    deps[1], fabric.mac_key, fabric.party_id)
             # public-value ops (concrete Scalars at flush time)
-            if n.op == "pub_c":
+            if op == "pub_c":
                 return n.payload
-            if n.op == "pub_add":
+            if op == "pub_add":
                 return deps[0] + deps[1]
-            if n.op == "pub_sub":
+            if op == "pub_sub":
                 return deps[0] - deps[1]
-            if n.op == "pub_neg":
+            if op == "pub_neg":
                 return -deps[0]
-            if n.op == "pub_mul":
+            if op == "pub_mul":
                 return deps[0] * deps[1]
-            if n.op == "pub_fn":
+            if op == "pub_fn":
                 return n.payload(deps[0])
             # mul/inv/pmul/open are flushed by the round loop
-            raise AssertionError(f"comm node {n.op} not yet flushed")
+            raise AssertionError(f"comm node {op} not yet flushed")
+
+        def prereq_nodes(n: _Node):
+            """Nodes whose VALUES must exist before n's can be computed."""
+            i = n.nid
+            f = mat_form.get(i) or (
+                forms[i] if forms[i] is not None and n.op in _LINEAR
+                else None)
+            if f is not None:
+                return [nodes[b] for b in f[0] if b not in values], f
+            return [d for d in n.deps if d.nid not in values], None
 
         def eval_local(n: _Node):
-            """Evaluate communication-free nodes (memoized, iterative)."""
-            if n.nid in values:
-                return values[n.nid]
+            """Evaluate a communication-free node (memoized, iterative)."""
+            v = values.get(n.nid)
+            if v is not None:
+                return v
             st = [n]
             while st:
                 cur = st[-1]
                 if cur.nid in values:
                     st.pop()
                     continue
-                pending = [d for d in cur.deps if d.nid not in values]
+                pending, f = prereq_nodes(cur)
                 if pending:
                     st.extend(pending)
                     continue
                 st.pop()
-                values[cur.nid] = apply_op(
-                    cur, [values[d.nid] for d in cur.deps])
+                if f is not None:
+                    values[cur.nid] = combine(f)
+                else:
+                    values[cur.nid] = apply_op(
+                        cur, [values[d.nid] for d in cur.deps])
             return values[n.nid]
 
         # round-by-round: batch ALL muls (and invs) of one depth level into
         # single fused protocol calls; mid-circuit opens (materialized via
         # `TracedOpen.as_public`) flush per level as ONE authenticated open.
-        # Bucket comm nodes by (level, op) once — a scan of `order` per
-        # level is quadratic in circuit depth (the reference exercises
-        # 10k-deep mul chains, `circuit_mul_throughput.rs:11-44`).
-        by_level: dict[int, dict[str, list[_Node]]] = {}
-        for n in order:
-            if n.op in COMM:
-                by_level.setdefault(
-                    depth[n.nid], {}).setdefault(n.op, []).append(n)
-
         for level in range(1, max_depth + 1):
             lv = by_level.get(level, {})
             mids = lv.get("open", [])
@@ -422,7 +560,7 @@ class Tracer:
                 flat = [eval_local(n.deps[0]).reshape(_numel(n))
                         for n in mids]
                 sizes = [s.size for s in flat]
-                opened = self.fabric.open_authenticated(
+                opened = fabric.open_authenticated(
                     ScalarShare.concatenate(flat), defer=True)
                 off = 0
                 for n, k in zip(mids, sizes):
@@ -433,23 +571,23 @@ class Tracer:
             if muls:
                 lhs = [eval_local(n.deps[0]).reshape(_numel(n)) for n in muls]
                 rhs = [eval_local(n.deps[1]).reshape(_numel(n)) for n in muls]
-                big = self.fabric.mul(
+                big = fabric.mul(
                     ScalarShare.concatenate(lhs), ScalarShare.concatenate(rhs)
                 )
                 off = 0
                 for n in muls:
                     k = _numel(n)
-                    values[n.nid] = big[off : off + k]
+                    values[n.nid] = big[off: off + k]
                     off += k
             if invs:
                 xs = [eval_local(n.deps[0]).reshape(_numel(n)) for n in invs]
-                big = self.fabric.inverse(
+                big = fabric.inverse(
                     ScalarShare.concatenate(xs), defer_check=True
                 )
                 off = 0
                 for n in invs:
                     k = _numel(n)
-                    values[n.nid] = big[off : off + k]
+                    values[n.nid] = big[off: off + k]
                     off += k
             pmuls = lv.get("pmul", [])
             if pmuls:
@@ -459,13 +597,13 @@ class Tracer:
                        for n in pmuls]
                 scs = [eval_local(n.deps[1]).reshape(_numel(n))
                        for n in pmuls]
-                big = self.fabric.mul_points(
+                big = fabric.mul_points(
                     ScalarShare.concatenate(scs), PointShare.concatenate(pts)
                 )
                 off = 0
                 for n in pmuls:
                     k = _numel(n)
-                    values[n.nid] = big[off : off + k]
+                    values[n.nid] = big[off: off + k]
                     off += k
 
         # one coalesced open flush for everything still unopened (handles
@@ -481,12 +619,12 @@ class Tracer:
                 for h in terminal
             ]
             sizes = [s.size for s in flat]
-            opened = self.fabric.open_authenticated(
+            opened = fabric.open_authenticated(
                 ScalarShare.concatenate(flat), defer=True
             )
             off = 0
             for h, k in zip(terminal, sizes):
-                h.value = opened[off : off + k].reshape(*h.source.shape)
+                h.value = opened[off: off + k].reshape(*h.source.shape)
                 off += k
         if self.point_opens:
             from ..algebra.point_share import PointShare
@@ -496,7 +634,7 @@ class Tracer:
                 for h in self.point_opens
             ]
             sizes = [p.size for p in flatp]
-            opened_p = self.fabric.open_authenticated_points(
+            opened_p = fabric.open_authenticated_points(
                 PointShare.concatenate(flatp), defer=True
             )
             off = 0
@@ -505,8 +643,14 @@ class Tracer:
                     *h.source.shape)
                 off += k
         if verify:
-            self.fabric.verify_deferred()
+            fabric.verify_deferred()
         return [eval_local(o.node) for o in outputs]
+
+
+def _coeff_mul(c, k: Scalar):
+    if isinstance(c, int):
+        return k * Scalar.from_ints(c % _L_MOD) if c != 1 else k
+    return c * k
 
 
 def _numel(n: _Node) -> int:

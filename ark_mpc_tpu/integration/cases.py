@@ -479,7 +479,10 @@ def lowgear_dealer_free_e2e(fabric):
     from ..offline.structs import OfflineSizingParams
 
     pid = fabric.party_id
+    from ..offline.bgv.bgv_l import default_ring
+
     lg = LowGear(pid, fabric.transport, mode="bgv",
+                 ring=default_ring(), allow_insecure_ring=True,
                  rng=np.random.default_rng(140 + pid))
     lg.run_offline_phase(OfflineSizingParams(
         num_triples=4, num_inverse_pairs=1, num_bits=1,

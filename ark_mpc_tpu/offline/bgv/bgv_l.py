@@ -77,6 +77,23 @@ def medium_ring(n_q_primes: int | None = None):
     return PowerfulRing(1155, n_q_primes=n_q_primes, drown_sec=128)
 
 
+def rlwe_secure_128(ring) -> bool:
+    """Conservative classical 128-bit RLWE security check (ternary secret,
+    HomomorphicEncryption.org standard tables): allow log2(q) up to
+    25 bits per 1024 ring dimensions — below every table row (e.g.
+    n = 32768 permits log2 q <= 829; 25 * 32 = 800).  The production ring
+    (phi = 48960, log2 q ~ 810) passes; the m = 132 prototype and m = 1155
+    medium rings do NOT (docs/security_params.md §2).  The reference cannot
+    even construct insecure parameter sets — MP-SPDZ generates them from
+    the modulus (`fhe/params.rs:41-52`); this check is the equivalent
+    guard for our explicit-parameter constructors."""
+    phi = getattr(ring, "phi", 0)
+    log2_q = getattr(ring, "log2_q", None)
+    if log2_q is None:
+        log2_q = sum(int(p).bit_length() for p in ring.q_primes)
+    return 1024 * log2_q <= 25 * phi
+
+
 # -- sampling ---------------------------------------------------------------
 
 
@@ -170,6 +187,12 @@ def encode_slots_l(ring, slots: Scalar) -> Scalar:
     matrices (CyclotomicRing)."""
     if hasattr(ring, "encode_slots"):
         return ring.encode_slots(slots)
+    if len(slots.shape) > 1:  # prototype ring: loop leading batch dims
+        flat = slots.reshape(-1, ring.slots)
+        return Scalar.concatenate(
+            [encode_slots_l(ring, flat[i]).reshape(1, ring.phi)
+             for i in range(flat.shape[0])]).reshape(*slots.shape[:-1],
+                                                     ring.phi)
     return (ring.encode_mat @ slots.reshape(ring.slots, 1)).reshape(ring.phi)
 
 
@@ -177,6 +200,12 @@ def encode_slots_l(ring, slots: Scalar) -> Scalar:
 def decode_slots_l(ring, coeffs: Scalar) -> Scalar:
     if hasattr(ring, "decode_slots"):
         return ring.decode_slots(coeffs)
+    if len(coeffs.shape) > 1:  # prototype ring: loop leading batch dims
+        flat = coeffs.reshape(-1, ring.phi)
+        return Scalar.concatenate(
+            [decode_slots_l(ring, flat[i]).reshape(1, ring.slots)
+             for i in range(flat.shape[0])]).reshape(*coeffs.shape[:-1],
+                                                     ring.slots)
     return (ring.decode_mat @ coeffs.reshape(ring.phi, 1)).reshape(ring.slots)
 
 
@@ -200,10 +229,14 @@ def encrypt_with_randomness_l(ring, pk_a, pk_b, m_rns, u_rns, e0_rns,
 @_ring_jit(4)
 def encrypt_l(ring: CyclotomicRing, pk_a, pk_b, pt_coeffs: Scalar,
               key, return_randomness: bool = False):
+    """Encrypt plaintext coefficients (..., phi); leading batch dims get
+    independent randomness in ONE dispatch (the offline pipeline encrypts
+    whole slot-batch STACKS — `triplets.rs:69-81` amortization)."""
+    batch = tuple(pt_coeffs.limbs.shape[1:-1])
     ku, k0, k1 = jax.random.split(key, 3)
-    u, u_raw = _sample_ternary(ring, ku)
-    e0, e0_raw = _sample_cbd(ring, k0)
-    e1, e1_raw = _sample_cbd(ring, k1)
+    u, u_raw = _sample_ternary(ring, ku, batch)
+    e0, e0_raw = _sample_cbd(ring, k0, batch)
+    e1, e1_raw = _sample_cbd(ring, k1, batch)
     m = _pt_to_rns(ring, pt_coeffs)
     ct = encrypt_with_randomness_l(ring, pk_a, pk_b, m, u, e0, e1)
     if return_randomness:
@@ -223,11 +256,18 @@ def encrypt_returning_randomness_l(ring, pk_a, pk_b, pt_coeffs: Scalar,
 
 @_ring_jit(2)
 def decrypt_l(ring, sk, ct: CiphertextL) -> Scalar:
-    """-> plaintext coefficients as a Scalar (phi,)."""
+    """-> plaintext coefficients as a Scalar (..., phi); leading batch
+    dims decrypt stacked ciphertexts (one dispatch on jit-capable rings)."""
     phase = ring.add(ct.c0, ring.mul(ct.c1, sk))
     if hasattr(ring, "phase_to_pt"):
         # device-side exact RNS -> F_l conversion (no host bigint CRT)
         return ring.phase_to_pt(phase)
+    if phase.ndim > 2:  # prototype ring: loop leading batch dims
+        flat = phase.reshape((-1,) + phase.shape[-2:])
+        outs = [Scalar.from_ints(
+            [v % L_MOD for v in ring.to_centered_ints(flat[i])]
+        ).reshape(1, ring.phi) for i in range(flat.shape[0])]
+        return Scalar.concatenate(outs).reshape(*phase.shape[:-2], ring.phi)
     ints = ring.to_centered_ints(phase)
     return Scalar.from_ints([v % L_MOD for v in ints])
 
@@ -266,10 +306,11 @@ def rerandomize_l(ring, pk_a, pk_b, ct: CiphertextL, key,
 
         drown_bits = (ring.drown_sec + 253
                       + 2 * int(math.log2(ring.phi)) + 8)
+    batch = tuple(ct.c0.shape[:-2])  # leading dims: independent drownings
     ku, k0, k1 = jax.random.split(key, 3)
-    u, _ = _sample_ternary(ring, ku)
-    e0 = _sample_wide_uniform(ring, k0, drown_bits)
-    e1, _ = _sample_cbd(ring, k1)
+    u, _ = _sample_ternary(ring, ku, batch)
+    e0 = _sample_wide_uniform(ring, k0, drown_bits, batch)
+    e1, _ = _sample_cbd(ring, k1, batch)
     z0 = ring.add(ring.mul(pk_b, u), ring.scalar_mul_t(e0))
     z1 = ring.add(ring.mul(pk_a, u), ring.scalar_mul_t(e1))
     return CiphertextL(ring.add(ct.c0, z0), ring.add(ct.c1, z1))

@@ -217,7 +217,7 @@ class PowerfulRing:
 
     def __init__(self, m: int, n_q_primes: int | None = None,
                  q_bits: int = 30, cbd_k: int = 10, drown_sec: int = 128,
-                 zk_sec: int = 64, u_max: int = 128):
+                 zk_sec: int = 128, u_max: int = 128):
         self.m = m
         self.zk_sec = zk_sec
         self.u_max = u_max
@@ -534,9 +534,11 @@ class PowerfulRing:
         return out
 
     def phase_to_pt(self, phase) -> Scalar:
-        """Eval-form phase -> plaintext powerful-basis coefficients mod l,
-        fully on device (exact RNS base conversion; see class docstring)."""
-        coeffs = self.from_eval(phase)  # (L, phi) plain residues
+        """Eval-form phase (..., L, phi) -> plaintext powerful-basis
+        coefficients mod l, fully on device (exact RNS base conversion;
+        see class docstring).  Leading batch dims supported — the stacked
+        offline pipeline decrypts whole slot-batch stacks in one dispatch."""
+        coeffs = self.from_eval(phase)  # (..., L, phi) plain residues
         return Scalar(self._phase_convert_fn()(coeffs))
 
     def _phase_convert_fn(self):
@@ -552,7 +554,6 @@ class PowerfulRing:
         qfl = np.asarray(self.q_float_inv, np.float32)
         qhat_limbs = self.qhat_mod_l.limbs      # (16, L) Montgomery limbs
         q_mod_l = self.q_mod_l
-        phi = self.phi
 
         def u32_to_scalar_limbs(x):
             z = jnp.zeros((lb.NLIMBS,) + x.shape, U32)
@@ -562,27 +563,31 @@ class PowerfulRing:
 
         @jax.jit
         def convert(coeffs):
-            cs = [m32.mont_mul32(spec, coeffs[i],
-                                 jnp.full_like(coeffs[i], qinv[i]))
+            """(..., L, phi) plain residues -> (16, ..., phi) F_l limbs."""
+            cs = [m32.mont_mul32(spec, coeffs[..., i, :],
+                                 jnp.full_like(coeffs[..., i, :], qinv[i]))
                   for i, spec in enumerate(specs)]
             # float32 suffices for exact k: relative error ~ L * 2^-24 while
             # the fractional part sits within 2^-16 of an integer (parameter
             # selection guarantees noise < q * (1/2 - 2^-16); see
             # docs/security_params.md).
-            c = jnp.stack(cs)                       # (L, phi) c_i < q_i
-            frac = (c.astype(jnp.float32) * qfl[:, None]).sum(0)
+            c = jnp.stack(cs)                   # (L, ..., phi) c_i < q_i
+            qfl_b = qfl.reshape((len(specs),) + (1,) * (c.ndim - 1))
+            frac = (c.astype(jnp.float32) * qfl_b).sum(0)
             k = jnp.round(frac).astype(jnp.uint32)  # CRT integer, exact
             # sum_i c_i * (q_hat_i mod l) - k * (q mod l)  over F_l
-            c_limbs = u32_to_scalar_limbs(c)        # (16, L, phi)
-            qh = jnp.broadcast_to(qhat_limbs[:, :, None],
-                                  (lb.NLIMBS, len(specs), phi))
+            c_limbs = u32_to_scalar_limbs(c)    # (16, L, ..., phi)
 
             def body(acc, xs):
-                ci, qi = xs
-                return (Scalar(acc) + Scalar(ci) * Scalar(qi)).limbs, None
+                ci, qi = xs                     # (16, ..., phi), (16,)
+                qb = jnp.broadcast_to(
+                    qi.reshape((lb.NLIMBS,) + (1,) * (ci.ndim - 1)),
+                    ci.shape)
+                return (Scalar(acc) + Scalar(ci) * Scalar(qb)).limbs, None
 
-            acc0 = jnp.zeros((lb.NLIMBS, phi), U32)
-            xs = (jnp.moveaxis(c_limbs, 1, 0), jnp.moveaxis(qh, 1, 0))
+            acc0 = jnp.zeros((lb.NLIMBS,) + c.shape[1:], U32)
+            xs = (jnp.moveaxis(c_limbs, 1, 0),
+                  jnp.moveaxis(qhat_limbs, 1, 0))
             acc, _ = jax.lax.scan(body, acc0, xs)
             kk = Scalar(u32_to_scalar_limbs(k))
             return (Scalar(acc) - kk * q_mod_l).limbs

@@ -16,10 +16,13 @@ a fixed 48-bit word-plane representation:
   - lifting a word array into the ring's RNS is `ring.lift_words` (modular
     weighted sum, vectorized).
 
-Soundness: 2^-V per proof (binary challenges; V defaults to 64 =
-`triplets_l.ZK_ROWS`).  Zero-knowledge slack: the masking bound B exceeds
-the witness contribution by >= 2^zk_sec.  Honest-verifier statistical
-distance <= U * bound / B <= 2^-zk_sec.  Reference analog:
+Soundness: 2^-V per proof (binary challenges; V defaults to 128 =
+`triplets_l.ZK_ROWS`, matching the reference's sec = 128
+NonInteractiveProof).  Zero-knowledge slack: the masking bound B exceeds
+the witness contribution by >= 2^zk_sec (zk_sec = 128 on production
+rings; the prototype `CyclotomicRing` falls back to 64 via the getattr
+default — it is a test harness, not a security surface).  Honest-verifier
+statistical distance <= U * bound / B <= 2^-zk_sec.  Reference analog:
 `mp-spdz-rs/src/fhe/keys.rs:55-100` (encrypt_and_prove / verify_proof).
 
 Works with both ring backends (`PowerfulRing` eval-form, prototype
@@ -31,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +43,7 @@ import numpy as np
 from ...algebra import limbs as lb
 from ...algebra.fields import SCALAR_FIELD
 from ...algebra.scalar import Scalar
+from ...ops import modular32 as m32
 from .bgv_l import (
     CiphertextL,
     encrypt_l,
@@ -124,18 +129,16 @@ def _challenge(cts: CiphertextL, comm: CiphertextL, v: int, u: int):
     for a in (cts.c0, cts.c1, comm.c0, comm.c1):
         h.update(np.asarray(jax.device_get(a)).tobytes())
     seed = h.digest()
-    bits, ctr = [], 0
-    while len(bits) < v * u:
-        d = hashlib.sha3_256(seed + ctr.to_bytes(4, "little")).digest()
-        for byte in d:
-            for j in range(8):
-                bits.append((byte >> j) & 1)
-        ctr += 1
-    return np.array(bits[: v * u], dtype=np.int64).reshape(v, u)
+    n_blocks = -(-(v * u) // 256)
+    raw = b"".join(
+        hashlib.sha3_256(seed + ctr.to_bytes(4, "little")).digest()
+        for ctr in range(n_blocks))
+    bits = np.unpackbits(np.frombuffer(raw, np.uint8), bitorder="little")
+    return bits[: v * u].astype(np.int64).reshape(v, u)
 
 
 def encrypt_and_prove_batch(ring, pk_a, pk_b, pt_coeff_list, key,
-                            v: int = 64, sec: int | None = None,
+                            v: int = 128, sec: int | None = None,
                             host_rng=None) -> CiphertextWithProofW:
     """Encrypt U plaintext-coefficient Scalars (phi,) and prove plaintext
     knowledge, amortized over the batch."""
@@ -149,23 +152,18 @@ def encrypt_and_prove_batch(ring, pk_a, pk_b, pt_coeff_list, key,
     k = ring.cbd_k
     wz, wu = zk_word_counts(sec, max(u_count, 2), k)
 
-    cts, raws = [], []
-    for pt in pt_coeff_list:
-        key, sub = jax.random.split(key)
-        ct, raw = encrypt_returning_randomness_l(ring, pk_a, pk_b, pt, sub)
-        cts.append(ct)
-        raws.append(raw)
-    cts = CiphertextL(jnp.stack([c.c0 for c in cts]),
-                      jnp.stack([c.c1 for c in cts]))
+    # ONE batched encryption of the whole (U, phi) plaintext stack — the
+    # per-ciphertext loop was U eager dispatches (U+V dominate proof cost)
+    pts = Scalar(jnp.stack([p.reshape(phi).limbs for p in pt_coeff_list],
+                           axis=1))                         # (U, phi)
+    key, sub = jax.random.split(key)
+    cts, (u_raw, e0_raw, e1_raw) = encrypt_returning_randomness_l(
+        ring, pk_a, pk_b, pts, sub)
 
-    m_words = np.stack([scalar_to_words(pt.reshape(phi))
-                        for pt in pt_coeff_list])           # (U, phi, 6)
-    u_words = np.stack([small_to_words(np.asarray(jax.device_get(r[0])))
-                        for r in raws])                     # (U, phi, 1)
-    e0_words = np.stack([small_to_words(np.asarray(jax.device_get(r[1])))
-                         for r in raws])
-    e1_words = np.stack([small_to_words(np.asarray(jax.device_get(r[2])))
-                         for r in raws])
+    m_words = scalar_to_words(pts)                          # (U, phi, 6)
+    u_words = small_to_words(np.asarray(jax.device_get(u_raw)))
+    e0_words = small_to_words(np.asarray(jax.device_get(e0_raw)))
+    e1_words = small_to_words(np.asarray(jax.device_get(e1_raw)))
 
     y = sample_balanced_words(host_rng, (v, phi), wz)
     su = sample_balanced_words(host_rng, (v, phi), wu)
@@ -220,13 +218,35 @@ def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
         ring, pk_a, pk_b,
         ring.lift_words(proof.z), ring.lift_words(proof.zu),
         ring.lift_words(proof.ze0), ring.lift_words(proof.ze1))
-    rhs0, rhs1 = proof.comm.c0, proof.comm.c1
-    w_dev = jnp.asarray(w)
-    for i in range(u_count):
-        sel = (w_dev[:, i] == 1)[:, None, None]
-        rhs0 = jnp.where(sel, ring.add(rhs0, proof.cts.c0[i][None]), rhs0)
-        rhs1 = jnp.where(sel, ring.add(rhs1, proof.cts.c1[i][None]), rhs1)
+    w_f32 = jnp.asarray(w, jnp.float32)
+    fold0, fold1 = _fold_cts(ring, w_f32, proof.cts.c0, proof.cts.c1)
+    rhs0 = ring.add(proof.comm.c0, fold0)
+    rhs1 = ring.add(proof.comm.c1, fold1)
     return bool(jnp.all(lhs.c0 == rhs0)) and bool(jnp.all(lhs.c1 == rhs1))
+
+
+@partial(jax.jit, static_argnums=0)
+def _fold_cts(ring, w_f32, c0, c1):
+    """W @ ct-stack per RNS prime in ONE dispatch, replacing the U-pass
+    eager select loop: 16-bit halves accumulate exactly in float32 matmuls
+    (binary W, halves < 2^16, U <= 256 terms => sums < 2^24, f32-exact),
+    then recombine mod q.  MXU-shaped on TPU."""
+    assert w_f32.shape[1] <= 256, "f32 fold exactness bound"
+    outs = []
+    for arr in (c0, c1):
+        per_prime = []
+        for i, spec in enumerate(ring.q_specs):
+            x = arr[:, i, :]                                  # (U, phi)
+            lo = jnp.dot(w_f32, (x & jnp.uint32(0xFFFF))
+                         .astype(jnp.float32))
+            hi = jnp.dot(w_f32, (x >> 16).astype(jnp.float32))
+            lo_u = lo.astype(jnp.uint32) % jnp.uint32(spec.q)
+            hi_u = hi.astype(jnp.uint32) % jnp.uint32(spec.q)
+            hi_r = m32.mont_mul32(spec, m32.to_mont32(spec, hi_u),
+                                  jnp.full_like(hi_u, jnp.uint32(1 << 16)))
+            per_prime.append(m32.add32(spec, hi_r, lo_u))
+        outs.append(jnp.stack(per_prime, axis=-2))
+    return outs[0], outs[1]
 
 
 # ---------------------------------------------------------------------------

@@ -31,13 +31,31 @@ from ..structs import LowGearPrep, OfflineSizingParams
 from . import protocols
 
 
+def resolve_bgv_ring(ring, allow_insecure_ring: bool):
+    """Ring-selection policy for bgv-mode `LowGear`: default to the
+    RLWE-secure production ring; refuse rings failing the 128-bit check
+    unless the caller explicitly opted out (tests/CI harnesses)."""
+    from ..bgv.bgv_l import production_ring, rlwe_secure_128
+
+    if ring is None:
+        ring = production_ring()
+    if not allow_insecure_ring and not rlwe_secure_128(ring):
+        raise ValueError(
+            f"ring m={ring.m} (phi={ring.phi}) fails the 128-bit RLWE "
+            f"security check and was not explicitly allowed; pass "
+            f"allow_insecure_ring=True ONLY for tests/benchmarks "
+            f"(docs/security_params.md §2)")
+    return ring
+
+
 class LowGear:
     """Per-party offline-phase state machine."""
 
     def __init__(self, party_id: int, transport: Transport,
                  rng: np.random.Generator | None = None,
                  dealer_seed: int = 0xA5A5, mode: str = "dealer",
-                 ring=None, jkey=None, setup=None):
+                 ring=None, jkey=None, setup=None,
+                 allow_insecure_ring: bool = False):
         """mode="bgv": fully dealer-free — raw triples, randomness, and
         input masks come from the BGV-over-l pipeline (`triplets_l.py`)
         after a real key exchange.  mode="dealer": honest-dealer raw
@@ -47,7 +65,15 @@ class LowGear:
         `setup`: a previously exchanged `SetupL` (see `get_setup_params` /
         `from_setup_params`) — skips the key exchange so a party can
         reconnect with a fresh transport between phases, mirroring
-        `LowGear::new_from_params` (`lowgear/mod.rs:92-127`)."""
+        `LowGear::new_from_params` (`lowgear/mod.rs:92-127`).
+
+        SECURE BY DEFAULT: in bgv mode the ring defaults to the RLWE-secure
+        production ring (`production_ring()`, m = 118965) and any ring
+        failing the 128-bit RLWE check (`rlwe_secure_128`) — including the
+        m = 132 prototype and the m = 1155 medium ring — is REFUSED unless
+        `allow_insecure_ring=True` is passed explicitly (tests/CI only).
+        The reference cannot construct insecure params at all
+        (`fhe/params.rs:41-52` generates them from the modulus)."""
         self.party_id = party_id
         self.transport = transport
         self.mode = mode
@@ -65,17 +91,16 @@ class LowGear:
 
             import jax
 
-            from ..bgv.bgv_l import default_ring
             from . import triplets_l
 
             self._tl = triplets_l
             self._jkey = jkey if jkey is not None else jax.random.PRNGKey(
                 _secrets.randbits(63))
+            candidate = setup.ring if setup is not None else ring
+            self.ring = resolve_bgv_ring(candidate, allow_insecure_ring)
             if setup is not None:
-                self.ring = setup.ring
                 self.setup = setup
             else:
-                self.ring = ring or default_ring()
                 self.setup = triplets_l.key_exchange_l(
                     transport, self.ring, self.rng, self._next_key())
             self.mac_key_share = self.setup.mac_key_share
@@ -126,13 +151,13 @@ class LowGear:
     def generate_shared_randomness(self, n: int) -> None:
         if self.mode == "bgv":
             # the real protocol: local sampling + homomorphic MAC
-            # (`shared_random.rs:56-71`)
-            chunks = []
+            # (`shared_random.rs:56-71`); all slot-batches under ONE
+            # stacked exchange
             phi = self.ring.slots
-            for _ in range((n + phi - 1) // phi):
-                chunks.append(self._tl.generate_authenticated_randomness_l(
-                    self.transport, self.setup, self.rng, self._next_key()))
-            self.prep.randomness.add(ScalarShare.concatenate(chunks))
+            self.prep.randomness.add(
+                self._tl.generate_authenticated_randomness_l(
+                    self.transport, self.setup, self.rng, self._next_key(),
+                    n_batches=(n + phi - 1) // phi))
             return
         self.prep.randomness.add(
             protocols.generate_shared_randomness(self.fabric, n)
@@ -228,7 +253,8 @@ class LowGear:
     def from_setup_params(cls, party_id: int, transport: Transport,
                           blob: bytes,
                           rng: np.random.Generator | None = None,
-                          jkey=None) -> "LowGear":
+                          jkey=None,
+                          allow_insecure_ring: bool = False) -> "LowGear":
         """Rebuild a bgv-mode `LowGear` from `get_setup_params` output over
         a (possibly new) transport — no key exchange is performed.  Analog
         of `LowGear::new_from_params` (`lowgear/mod.rs:107-127`)."""
@@ -269,7 +295,7 @@ class LowGear:
                     dev["other_pk_a"], dev["other_pk_b"],
                     CiphertextL(dev["mac_c0"], dev["mac_c1"]), mac_key_share)
         return cls(party_id, transport, rng=rng, mode="bgv", jkey=jkey,
-                   setup=st)
+                   setup=st, allow_insecure_ring=allow_insecure_ring)
 
     # -- raw material (BGV swap-in point) ----------------------------------
 

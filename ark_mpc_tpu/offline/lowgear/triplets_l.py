@@ -28,6 +28,7 @@ from ...fabric.transport import Transport
 from ..bgv.bgv_l import (
     CiphertextL,
     KeypairL,
+    _ring_jit,
     add_pt_l,
     decrypt_l,
     decode_slots_l,
@@ -39,6 +40,11 @@ from ..bgv.bgv_l import (
 )
 from ..bgv.cyclotomic import CyclotomicRing
 from .setup import _exchange
+
+# device-memory cap for one stacked pipeline dispatch: at the production
+# ring one slot-batch row is ~10 MB of ciphertext and the batched decrypt
+# holds a (16, L, chunk, phi) limb intermediate (~85 MB/row)
+_STACK_CHUNK = 4
 
 
 @dataclass
@@ -75,21 +81,83 @@ def key_exchange_l(transport: Transport, ring: CyclotomicRing,
     return st
 
 
+@_ring_jit(6)
+def _masked_products_l(ring, pk_a, pk_b, ct: CiphertextL, factors: Scalar,
+                       neg_masks: Scalar, key) -> CiphertextL:
+    """The LowGear cross-product COMPUTE stage over a stacked batch
+    (`triplets.rs:155-183` homomorphic side): enc_other(x) * factors
+    - masks, drowned.  `factors`/`neg_masks` are (..., S) slot stacks;
+    `ct` is (L, phi) (broadcast over the stack) or (..., L, phi).
+    On jit-capable rings the whole stage is ONE device dispatch."""
+    prod = mul_pt_l(ring, ct, encode_slots_l(ring, factors))
+    masked = add_pt_l(ring, prod, encode_slots_l(ring, neg_masks))
+    return rerandomize_l(ring, pk_a, pk_b, masked, key)
+
+
+@_ring_jit(2)
+def _decrypt_decode_l(ring, sk, ct: CiphertextL) -> Scalar:
+    """Batched decrypt + slot decode (one dispatch on jit-capable rings)."""
+    return decode_slots_l(ring, decrypt_l(ring, sk, ct))
+
+
+def share_products_grouped_l(transport: Transport, st: SetupL,
+                             groups: list, rng: np.random.Generator, jkey,
+                             chunk: int = _STACK_CHUNK):
+    """N cross-products over F_l with ONE wire exchange
+    (`triplets.rs:155-234`, coalesced): `groups` is a list of
+    `(enc_other, factors)` where `factors` is a Scalar stack (Ni, S) and
+    `enc_other` a CiphertextL of shape (L, phi) (same ciphertext for every
+    row, e.g. enc(mac_share)) or (Ni, L, phi).  Both parties MUST pass
+    groups in the same canonical order — rows ride one frame each way.
+    Compute runs in `chunk`-row stacked dispatches (device-memory cap).
+    Returns [(mask_i, dec_i)] per group, each (Ni, S)."""
+    ring = st.ring
+    sizes = [int(f.shape[0]) for _, f in groups]
+    masks = [Scalar.random((n, ring.slots), rng) for n in sizes]
+    keys = jax.random.split(jkey, len(groups))
+
+    mine_c0, mine_c1 = [], []
+    for gi, ((ct, factors), mask) in enumerate(zip(groups, masks)):
+        n = sizes[gi]
+        ckeys = jax.random.split(keys[gi], -(-n // chunk))
+        for ci, beg in enumerate(range(0, n, chunk)):
+            end = min(beg + chunk, n)
+            sub_ct = ct if ct.c0.ndim == 2 else CiphertextL(
+                ct.c0[beg:end], ct.c1[beg:end])
+            out = _masked_products_l(
+                ring, st.other_pk_a, st.other_pk_b, sub_ct,
+                factors[beg:end], -mask[beg:end], ckeys[ci])
+            mine_c0.append(np.asarray(jax.device_get(out.c0)))
+            mine_c1.append(np.asarray(jax.device_get(out.c1)))
+
+    frame_c0 = np.concatenate(mine_c0, axis=0)
+    frame_c1 = np.concatenate(mine_c1, axis=0)
+    their0, their1 = _exchange(transport, frame_c0, frame_c1)
+
+    decs, off = [], 0
+    for n in sizes:
+        parts = []
+        for beg in range(off, off + n, chunk):
+            end = min(beg + chunk, off + n)
+            parts.append(_decrypt_decode_l(
+                ring, st.keypair.sk,
+                CiphertextL(their0[beg:end], their1[beg:end])))
+        decs.append(Scalar.concatenate(parts))
+        off += n
+    return list(zip(masks, decs))
+
+
 def share_product_l(transport: Transport, st: SetupL,
                     enc_other: CiphertextL, my_factor: Scalar,
                     rng: np.random.Generator, jkey):
     """Cross-product step over F_l (`triplets.rs:155-234`): returns
-    (my mask share, decrypted share of the peer's product)."""
+    (my mask share, decrypted share of the peer's product).  Single-row
+    form of `share_products_grouped_l`."""
     ring = st.ring
-    mask = Scalar.random(ring.slots, rng)
-    prod = mul_pt_l(ring, enc_other, encode_slots_l(ring, my_factor))
-    masked = add_pt_l(ring, prod, encode_slots_l(ring, -mask))
-    masked = rerandomize_l(ring, st.other_pk_a, st.other_pk_b, masked, jkey)
-    their0, their1 = _exchange(transport, masked.c0, masked.c1)
-    dec = decode_slots_l(
-        ring, decrypt_l(ring, st.keypair.sk, CiphertextL(their0, their1))
-    )
-    return mask, dec
+    (mask, dec), = share_products_grouped_l(
+        transport, st, [(enc_other, my_factor.reshape(1, ring.slots))],
+        rng, jkey)
+    return mask.reshape(ring.slots), dec.reshape(ring.slots)
 
 
 def authenticate_vec_l(transport: Transport, st: SetupL, values: Scalar,
@@ -101,9 +169,12 @@ def authenticate_vec_l(transport: Transport, st: SetupL, values: Scalar,
     return values * st.mac_key_share + mask + dec
 
 
-ZK_ROWS = 64  # Fiat-Shamir binary challenge rows: soundness 2^-64 per
-#               exchange (the production floor; `fhe/keys.rs:55-100` runs
-#               MP-SPDZ's proof at sec = 128 — tracked for the large-m sets)
+ZK_ROWS = 128  # Fiat-Shamir binary challenge rows: knowledge error 2^-128
+#                per exchange, matching the reference's NonInteractiveProof
+#                at sec = 128 (`mp-spdz-rs/src/fhe/keys.rs:74-81`,
+#                `fhe/params.rs:13` DEFAULT_DROWN_SEC).  The ring's noise
+#                budget admits the corresponding response bounds
+#                (`PowerfulRing.__init__` zk_sec = 128 word counts).
 
 
 def _exchange_encryptions_proven(transport: Transport, st: SetupL,
@@ -160,24 +231,31 @@ def generate_triples_l(transport: Transport, st: SetupL,
     """One slot-batch of authenticated triples over F_l:
     ([a], [b], [c=a*b]) as ScalarShares of shape (phi,)."""
     ring = st.ring
-    keys = jax.random.split(jkey, 6)
-    a_i = Scalar.random(ring.slots, rng)
-    b_i = Scalar.random(ring.slots, rng)
+    S = ring.slots
+    keys = jax.random.split(jkey, 3)
+    a_i = Scalar.random((1, S), rng)
+    b_i = Scalar.random((1, S), rng)
 
-    enc_other_a = _exchange_enc_a_proven(transport, st, a_i, rng, keys[0])
+    enc_a = _exchange_encryptions_proven(
+        transport, st, [encode_slots_l(ring, a_i[0])], rng, keys[0])[0]
 
-    mask, dec = share_product_l(transport, st, enc_other_a, b_i, rng,
-                                keys[1])
-    c_i = a_i * b_i + mask + dec
-
-    a_mac = authenticate_vec_l(transport, st, a_i, rng, keys[2])
-    b_mac = authenticate_vec_l(transport, st, b_i, rng, keys[3])
-    c_mac = authenticate_vec_l(transport, st, c_i, rng, keys[4])
+    mac = st.other_mac_enc
+    # one exchange: the b-product + auths of a and b
+    (mc, dc), (ma, da), (mb, db) = share_products_grouped_l(
+        transport, st, [(enc_a, b_i), (mac, a_i), (mac, b_i)], rng, keys[1])
+    c_i = a_i * b_i + mc + dc
+    k_s = st.mac_key_share
+    a_mac = a_i * k_s + ma + da
+    b_mac = b_i * k_s + mb + db
+    # second exchange: authenticate c
+    (mcm, dcm), = share_products_grouped_l(
+        transport, st, [(mac, c_i)], rng, keys[2])
+    c_mac = c_i * k_s + mcm + dcm
 
     return (
-        ScalarShare(a_i, a_mac),
-        ScalarShare(b_i, b_mac),
-        ScalarShare(c_i, c_mac),
+        ScalarShare(a_i.reshape(S), a_mac.reshape(S)),
+        ScalarShare(b_i.reshape(S), b_mac.reshape(S)),
+        ScalarShare(c_i.reshape(S), c_mac.reshape(S)),
     )
 
 
@@ -185,67 +263,71 @@ def generate_triple_pairs_l(transport: Transport, st: SetupL,
                             rng: np.random.Generator, jkey):
     """Fig. 7 pair over F_l: (a, b, c=ab) and (a, b', c'=ab') sharing the
     same a and the same exchanged enc(a) — the sacrifice's input."""
-    ring = st.ring
-    keys = jax.random.split(jkey, 9)
-    a_i = Scalar.random(ring.slots, rng)
-
-    enc_other_a = _exchange_enc_a_proven(transport, st, a_i, rng, keys[0])
-
-    def product(b_vec, k_sp, k_ab, k_ac):
-        mask, dec = share_product_l(transport, st, enc_other_a, b_vec, rng,
-                                    k_sp)
-        c_vec = a_i * b_vec + mask + dec
-        b_mac = authenticate_vec_l(transport, st, b_vec, rng, k_ab)
-        c_mac = authenticate_vec_l(transport, st, c_vec, rng, k_ac)
-        return ScalarShare(b_vec, b_mac), ScalarShare(c_vec, c_mac)
-
-    b1 = Scalar.random(ring.slots, rng)
-    b2 = Scalar.random(ring.slots, rng)
-    sb1, sc1 = product(b1, keys[1], keys[2], keys[3])
-    sb2, sc2 = product(b2, keys[4], keys[5], keys[6])
-    a_mac = authenticate_vec_l(transport, st, a_i, rng, keys[7])
-    sa = ScalarShare(a_i, a_mac)
-    return sa, sb1, sc1, sb2, sc2
+    return generate_triple_pairs_batch_l(transport, st, 1, rng, jkey)
 
 
 def generate_triple_pairs_batch_l(transport: Transport, st: SetupL,
                                   n_batches: int, rng: np.random.Generator,
                                   jkey):
-    """`n_batches` slot-batches of Fig. 7 pairs with the enc(a) exchange
-    AMORTIZED: all `n_batches` ciphertexts ride ONE ZK proof
-    (`_exchange_encryptions_proven`), matching the reference's
-    slots x sec proof batch (`params.rs:65-67`).  Returns the same 5-tuple
-    as `generate_triple_pairs_l`, concatenated to shape
-    (n_batches * slots,)."""
+    """`n_batches` slot-batches of Fig. 7 pairs, FULLY coalesced
+    (`lowgear/triplets.rs:30-234` pipeline, stacked across slot-batches):
+
+      - all `n_batches` enc(a) ciphertexts ride ONE ZK proof
+        (`_exchange_encryptions_proven`), matching the reference's
+        slots x sec proof batch (`params.rs:65-67`);
+      - the 5U independent cross-products of stage A (c = a*b, c' = a*b',
+        and the homomorphic MACs of a, b, b') ride ONE wire exchange in the
+        canonical row order [c | c' | auth a | auth b | auth b'];
+      - stage B (MACs of the freshly derived c, c' — a data dependency on
+        stage A's decryptions) rides a second single exchange.
+
+    Total wire rounds per call: 3, independent of `n_batches` (the round-2
+    code paid 1 + 7 * n_batches).  Compute per stage is a handful of
+    stacked device dispatches (`_STACK_CHUNK` rows each).  Returns the
+    5-tuple (a, b, c, b', c') of ScalarShares, shape (n_batches * slots,).
+    """
     ring = st.ring
-    if n_batches == 1:
-        return generate_triple_pairs_l(transport, st, rng, jkey)
-    keys = jax.random.split(jkey, 1 + 8 * n_batches)
-    a_list = [Scalar.random(ring.slots, rng) for _ in range(n_batches)]
-    enc_others = _exchange_encryptions_proven(
-        transport, st, [encode_slots_l(ring, a) for a in a_list],
+    S = ring.slots
+    U = n_batches
+    keys = jax.random.split(jkey, 3)
+    a = Scalar.random((U, S), rng)
+    b1 = Scalar.random((U, S), rng)
+    b2 = Scalar.random((U, S), rng)
+
+    enc_list = _exchange_encryptions_proven(
+        transport, st, [encode_slots_l(ring, a[i]) for i in range(U)],
         rng, keys[0])
+    enc_a = CiphertextL(jnp.stack([c.c0 for c in enc_list]),
+                        jnp.stack([c.c1 for c in enc_list]))
+    mac = st.other_mac_enc
+    k_s = st.mac_key_share
 
-    outs: list[tuple] = []
-    for i, (a_i, enc_other_a) in enumerate(zip(a_list, enc_others)):
-        k = keys[1 + 8 * i: 1 + 8 * (i + 1)]
+    # stage A: both products + auths of a, b, b' — ONE exchange
+    (m1, d1), (m2, d2), (ma, da), (mb1, db1), (mb2, db2) = \
+        share_products_grouped_l(
+            transport, st,
+            [(enc_a, b1), (enc_a, b2), (mac, a), (mac, b1), (mac, b2)],
+            rng, keys[1])
+    c1 = a * b1 + m1 + d1
+    c2 = a * b2 + m2 + d2
+    a_mac = a * k_s + ma + da
+    b1_mac = b1 * k_s + mb1 + db1
+    b2_mac = b2 * k_s + mb2 + db2
 
-        def product(b_vec, k_sp, k_ab, k_ac):
-            mask, dec = share_product_l(transport, st, enc_other_a, b_vec,
-                                        rng, k_sp)
-            c_vec = a_i * b_vec + mask + dec
-            b_mac = authenticate_vec_l(transport, st, b_vec, rng, k_ab)
-            c_mac = authenticate_vec_l(transport, st, c_vec, rng, k_ac)
-            return ScalarShare(b_vec, b_mac), ScalarShare(c_vec, c_mac)
+    # stage B: auths of c, c' — ONE exchange
+    (mc1, dc1), (mc2, dc2) = share_products_grouped_l(
+        transport, st, [(mac, c1), (mac, c2)], rng, keys[2])
+    c1_mac = c1 * k_s + mc1 + dc1
+    c2_mac = c2 * k_s + mc2 + dc2
 
-        b1 = Scalar.random(ring.slots, rng)
-        b2 = Scalar.random(ring.slots, rng)
-        sb1, sc1 = product(b1, k[0], k[1], k[2])
-        sb2, sc2 = product(b2, k[3], k[4], k[5])
-        a_mac = authenticate_vec_l(transport, st, a_i, rng, k[6])
-        outs.append((ScalarShare(a_i, a_mac), sb1, sc1, sb2, sc2))
-    return tuple(ScalarShare.concatenate([o[j] for o in outs])
-                 for j in range(5))
+    n = U * S
+    return (
+        ScalarShare(a.reshape(n), a_mac.reshape(n)),
+        ScalarShare(b1.reshape(n), b1_mac.reshape(n)),
+        ScalarShare(c1.reshape(n), c1_mac.reshape(n)),
+        ScalarShare(b2.reshape(n), b2_mac.reshape(n)),
+        ScalarShare(c2.reshape(n), c2_mac.reshape(n)),
+    )
 
 
 def generate_input_masks_l(transport: Transport, st: SetupL, n: int,
@@ -260,34 +342,43 @@ def generate_input_masks_l(transport: Transport, st: SetupL, n: int,
     agree on the order — party 0's masks first).
     Returns (my_clear_masks or None, my share of stream-A masks, my share
     of stream-B masks) where stream A = party0's masks, B = party1's.
+
+    Batches larger than one slot count chunk internally (the reference
+    sizes mask batches arbitrarily, `lowgear/input_masks.rs:15-58`); each
+    chunk is one homomorphic-MAC exchange per stream.
     """
     ring = st.ring
-    assert n <= ring.slots, "mask batch larger than slot count"
-    k1, k2 = jax.random.split(jkey)
-
-    def stream(owner_is_me: bool, k):
-        if owner_is_me:
-            clear = Scalar.random(ring.slots, rng)
-            share = clear
-        else:
-            clear = None
-            share = Scalar.zeros(ring.slots)
-        mac = authenticate_vec_l(transport, st, share, rng, k)
-        return clear, ScalarShare(share, mac)
-
-    clear_a, share_a = stream(local_first, k1)
-    clear_b, share_b = stream(not local_first, k2)
-    my_clear = clear_a if local_first else clear_b
+    S = ring.slots
+    n_chunks = max(1, -(-n // S))
+    mine = Scalar.random((n_chunks, S), rng)
+    zeros = Scalar.zeros((n_chunks, S))
+    # canonical group order: party 0's stream first; ONE exchange for both
+    va, vb = (mine, zeros) if local_first else (zeros, mine)
+    (ma, da), (mb, db) = share_products_grouped_l(
+        transport, st, [(st.other_mac_enc, va), (st.other_mac_enc, vb)],
+        rng, jkey)
+    k_s = st.mac_key_share
+    share_a = ScalarShare(va.reshape(n_chunks * S),
+                          (va * k_s + ma + da).reshape(n_chunks * S))
+    share_b = ScalarShare(vb.reshape(n_chunks * S),
+                          (vb * k_s + mb + db).reshape(n_chunks * S))
+    my_clear = mine.reshape(n_chunks * S)
     return my_clear[:n], (share_a if local_first else share_b)[:n], \
         (share_b if local_first else share_a)[:n]
 
 
 def generate_authenticated_randomness_l(transport: Transport, st: SetupL,
                                         rng: np.random.Generator,
-                                        jkey) -> ScalarShare:
+                                        jkey,
+                                        n_batches: int = 1) -> ScalarShare:
     """Authenticated random shares the real way
     (`lowgear/shared_random.rs:56-71`): sample locally, authenticate
-    homomorphically."""
-    r_i = Scalar.random(st.ring.slots, rng)
-    r_mac = authenticate_vec_l(transport, st, r_i, rng, jkey)
-    return ScalarShare(r_i, r_mac)
+    homomorphically.  All `n_batches` slot-batches authenticate under ONE
+    wire exchange (stacked homomorphic MAC)."""
+    S = st.ring.slots
+    r = Scalar.random((n_batches, S), rng)
+    (m, d), = share_products_grouped_l(
+        transport, st, [(st.other_mac_enc, r)], rng, jkey)
+    n = n_batches * S
+    return ScalarShare(r.reshape(n),
+                       (r * st.mac_key_share + m + d).reshape(n))

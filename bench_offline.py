@@ -59,6 +59,7 @@ def party(fabric):
 
     t0 = time.time()
     lg = LowGear(pid, fabric.transport, mode="bgv", ring=ring,
+                 allow_insecure_ring=True,  # bench rings are sized for speed
                  rng=np.random.default_rng(300 + pid))
     setup_s = time.time() - t0
     log(f"key exchange + proofs: {setup_s:.1f}s")

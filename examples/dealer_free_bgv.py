@@ -5,7 +5,11 @@ args = ap.parse_args()
 import numpy as np
 from ark_mpc_tpu import LowGear, MpcFabric, OfflineSizingParams, Scalar, TcpTransport
 tr = TcpTransport(args.party, "127.0.0.1", args.port, timeout=600)
-lg = LowGear(args.party, tr, mode="bgv")  # secure OS-entropy defaults
+from ark_mpc_tpu.offline.bgv.bgv_l import default_ring
+# DEMO ONLY: the m=132 toy ring keeps this example CPU-runnable in minutes.
+# Production callers omit `ring`/`allow_insecure_ring` and get the
+# RLWE-secure m=118965 ring by default (OS-entropy secrets either way).
+lg = LowGear(args.party, tr, mode="bgv", ring=default_ring(), allow_insecure_ring=True)
 lg.run_offline_phase(OfflineSizingParams(num_triples=4, num_inverse_pairs=1,
                                          num_bits=1, num_randomness=2, num_input_masks=2))
 online = MpcFabric(args.party, tr, lg.get_offline_result())

@@ -20,14 +20,17 @@ rng = random.Random(101)
 def test_full_bgv_offline_then_online():
     sizing = OfflineSizingParams(
         num_triples=8, num_inverse_pairs=2, num_bits=2,
-        num_randomness=4, num_input_masks=4,
-    )
+        num_randomness=4, num_input_masks=45,  # > the toy ring's 40 slots:
+    )                                          # exercises mask chunking
     x = [rng.randrange(L) for _ in range(2)]
     y = [rng.randrange(L) for _ in range(2)]
 
     def prog(fabric):
         pid = fabric.party_id
+        from ark_mpc_tpu.offline.bgv.bgv_l import default_ring
+
         lg = LowGear(pid, fabric.transport, mode="bgv",
+                     ring=default_ring(), allow_insecure_ring=True,
                      rng=np.random.default_rng(40 + pid))
         lg.run_offline_phase(sizing)
         prep = lg.get_offline_result()

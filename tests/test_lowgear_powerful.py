@@ -33,6 +33,7 @@ def _run_e2e(make_ring):
     def prog(fabric):
         pid = fabric.party_id
         lg = LowGear(pid, fabric.transport, mode="bgv", ring=make_ring(),
+                     allow_insecure_ring=True,
                      rng=np.random.default_rng(80 + pid))
         lg.run_offline_phase(sizing)
         prep = lg.get_offline_result()

@@ -17,7 +17,10 @@ from ark_mpc_tpu.offline.lowgear.core import LowGear
 def test_setup_roundtrip_and_resume():
     def prog(fabric):
         pid = fabric.party_id
+        from ark_mpc_tpu.offline.bgv.bgv_l import default_ring
+
         lg = LowGear(pid, fabric.transport, mode="bgv",
+                     ring=default_ring(), allow_insecure_ring=True,
                      rng=np.random.default_rng(80 + pid))
         blob = lg.get_setup_params()
         assert isinstance(blob, bytes) and len(blob) > 0
@@ -27,7 +30,7 @@ def test_setup_roundtrip_and_resume():
         # flow during reconstruction (the lockstep transport would deadlock
         # if only one party tried to exchange).
         lg2 = LowGear.from_setup_params(
-            pid, fabric.transport, blob,
+            pid, fabric.transport, blob, allow_insecure_ring=True,
             rng=np.random.default_rng(90 + pid))
 
         assert lg2.ring.m == lg.ring.m
@@ -64,10 +67,11 @@ def test_powerful_ring_setup_roundtrip():
     def prog(fabric):
         pid = fabric.party_id
         lg = LowGear(pid, fabric.transport, mode="bgv", ring=ring,
+                     allow_insecure_ring=True,
                      rng=np.random.default_rng(180 + pid))
         blob = lg.get_setup_params()
         lg2 = LowGear.from_setup_params(
-            pid, fabric.transport, blob,
+            pid, fabric.transport, blob, allow_insecure_ring=True,
             rng=np.random.default_rng(190 + pid))
         assert type(lg2.ring).__name__ == "PowerfulRing"
         assert lg2.ring.m == ring.m
