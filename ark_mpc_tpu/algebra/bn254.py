@@ -1,0 +1,179 @@
+"""Second field/curve instantiation: BN254 (alt_bn128) G1.
+
+The reference is generic over `C: CurveGroup` and its tests instantiate
+`ark_bn254::G1Projective` (`online-phase/src/lib.rs:75-78`).  This module
+instantiates the SAME generic limb engine (`algebra/limbs.py`) at BN254's
+base and scalar fields and implements G1 in JACOBIAN coordinates over it —
+proving the `FieldSpec`/`FieldArray` kernel layering is generic over the
+prime and the curve shape (short Weierstrass here vs twisted Edwards for
+the Curve25519 north star), not incidentally single-curve.
+
+Both BN254 primes are ~254 bits, far from pseudo-Mersenne, so every
+operation exercises the generic Montgomery REDC path of the limb engine.
+
+y^2 = x^3 + 3 over F_q; generator (1, 2); cofactor 1 (every F_q-rational
+point is in the prime-order group, so the subgroup check is curve
+membership).  Formulas: standard Jacobian add-2007-bl / dbl-2009-l.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import limbs as lb
+from .limbs import FieldSpec
+from .scalar import FieldArray, _register
+
+BN254_Q = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+BN254_R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+
+BN254_BASE = FieldSpec(BN254_Q, "bn254-fq")
+BN254_SCALAR = FieldSpec(BN254_R, "bn254-fr")
+
+
+class Fq(FieldArray):
+    """BN254 base-field element(s) (generic Montgomery limb engine)."""
+
+    spec = BN254_BASE
+
+
+class Fr(FieldArray):
+    """BN254 scalar-field element(s)."""
+
+    spec = BN254_SCALAR
+
+
+_register(Fq)
+_register(Fr)
+
+
+def _dbl(x: Fq) -> Fq:
+    return x + x
+
+
+class G1:
+    """BN254 G1 point batch in Jacobian coordinates (X, Y, Z); the point
+    at infinity is Z == 0 (represented (1, 1, 0))."""
+
+    def __init__(self, X: Fq, Y: Fq, Z: Fq):
+        self.X, self.Y, self.Z = X, Y, Z
+
+    @classmethod
+    def generator(cls, shape=()) -> "G1":
+        shape = (shape,) if isinstance(shape, int) else tuple(shape)
+        return cls(Fq.from_ints(1).broadcast_to(shape),
+                   Fq.from_ints(2).broadcast_to(shape),
+                   Fq.ones(shape))
+
+    @classmethod
+    def identity(cls, shape=()) -> "G1":
+        shape = (shape,) if isinstance(shape, int) else tuple(shape)
+        return cls(Fq.ones(shape), Fq.ones(shape), Fq.zeros(shape))
+
+    @property
+    def shape(self):
+        return self.X.shape
+
+    def is_identity(self):
+        return self.Z.is_zero()
+
+    def double(self) -> "G1":
+        """dbl-2009-l (a = 0)."""
+        X1, Y1, Z1 = self.X, self.Y, self.Z
+        A = X1.square()
+        B = Y1.square()
+        C = B.square()
+        D = _dbl((X1 + B).square() - A - C)
+        E = _dbl(A) + A
+        F = E.square()
+        X3 = F - _dbl(D)
+        Y3 = E * (D - X3) - _dbl(_dbl(_dbl(C)))
+        Z3 = _dbl(Y1 * Z1)
+        return G1(X3, Y3, Z3)
+
+    def __add__(self, other: "G1") -> "G1":
+        """add-2007-bl with identity/doubling handled by select (the
+        branch-free form vectorized batches need)."""
+        X1, Y1, Z1 = self.X, self.Y, self.Z
+        X2, Y2, Z2 = other.X, other.Y, other.Z
+        Z1Z1 = Z1.square()
+        Z2Z2 = Z2.square()
+        U1 = X1 * Z2Z2
+        U2 = X2 * Z1Z1
+        S1 = Y1 * Z2 * Z2Z2
+        S2 = Y2 * Z1 * Z1Z1
+        H = U2 - U1
+        I = _dbl(H).square()  # noqa: E741
+        J = H * I
+        rr = _dbl(S2 - S1)
+        V = U1 * I
+        X3 = rr.square() - J - _dbl(V)
+        Y3 = rr * (V - X3) - _dbl(S1 * J)
+        Z3 = ((Z1 + Z2).square() - Z1Z1 - Z2Z2) * H
+        out = G1(X3, Y3, Z3)
+
+        same_x = H.is_zero()
+        same_y = (S2 - S1).is_zero()
+        dbl = self.double()
+        # equal points -> double; opposite points -> identity
+        out = out.select(~(same_x & same_y & ~self.is_identity()
+                           & ~other.is_identity()), dbl)
+        out = out.select(~(same_x & ~same_y & ~self.is_identity()
+                           & ~other.is_identity()),
+                         G1.identity(out.shape))
+        out = out.select(~self.is_identity(), other)
+        out = out.select(~other.is_identity(), self)
+        return out
+
+    def select(self, cond, alt: "G1") -> "G1":
+        """elementwise: cond ? self : alt."""
+        def sel(a: Fq, b: Fq) -> Fq:
+            c = jnp.broadcast_to(cond, a.limbs.shape[1:])
+            return Fq(jnp.where(c[None], a.limbs, b.limbs))
+
+        return G1(sel(self.X, alt.X), sel(self.Y, alt.Y),
+                  sel(self.Z, alt.Z))
+
+    def __neg__(self) -> "G1":
+        return G1(self.X, -self.Y, self.Z)
+
+    def mul(self, scalar: Fr) -> "G1":
+        """Double-and-select ladder over the canonical scalar bits."""
+        canon = lb.from_mont(BN254_SCALAR, scalar.limbs)
+        shape = jnp.broadcast_shapes(self.shape, scalar.shape)
+        pt = self.broadcast_to(shape)
+        bits = BN254_R.bit_length()
+        acc = G1.identity(shape)
+        for i in reversed(range(bits)):
+            acc = acc.double()
+            limb = canon[i >> 4]
+            bit = ((limb >> jnp.uint32(i & 15)) & 1) == 1
+            added = acc + pt
+            acc = added.select(jnp.broadcast_to(bit, shape), acc)
+        return acc
+
+    def broadcast_to(self, shape) -> "G1":
+        return G1(self.X.broadcast_to(shape), self.Y.broadcast_to(shape),
+                  self.Z.broadcast_to(shape))
+
+    def to_affine(self):
+        zinv = self.Z.inverse()
+        zi2 = zinv.square()
+        return self.X * zi2, self.Y * zi2 * zinv
+
+    def equals(self, other: "G1"):
+        """Jacobian equality: X1 Z2^2 == X2 Z1^2, Y1 Z2^3 == Y2 Z1^3."""
+        Z1Z1, Z2Z2 = self.Z.square(), other.Z.square()
+        ex = (self.X * Z2Z2).equals(other.X * Z1Z1)
+        ey = (self.Y * Z2Z2 * other.Z).equals(other.Y * Z1Z1 * self.Z)
+        both_id = self.is_identity() & other.is_identity()
+        return both_id | (ex & ey & ~self.is_identity()
+                          & ~other.is_identity())
+
+    def is_on_curve(self):
+        """Jacobian curve membership: Y^2 == X^3 + 3 Z^6."""
+        z2 = self.Z.square()
+        z6 = z2.square() * z2
+        b3 = Fq.from_ints(3).broadcast_to(self.shape)
+        rhs = self.X.square() * self.X + b3 * z6
+        return self.Y.square().equals(rhs) | self.is_identity()

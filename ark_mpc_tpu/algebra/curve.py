@@ -211,6 +211,9 @@ class CurvePoint:
     # Pippenger (see `_msm_pippenger`).  Crossover measured in
     # `benchmarks/msm.py` (see BASELINE.md "MSM" table).
     MSM_PIPPENGER_CUTOFF = 128
+    # TPU: ladder kernel below, bucketed Pippenger kernel above
+    # (`ops/msm_kernels.py`; crossover from benchmarks/msm.py)
+    MSM_BUCKET_CUTOFF = 2048
 
     @staticmethod
     def msm(scalars: Scalar, points: "CurvePoint") -> "CurvePoint":
@@ -224,12 +227,26 @@ class CurvePoint:
         sort+segmented-scan MSM of the cuZK/sppark GPU lineage), which cuts
         group-op WORK from ~506·n ladder steps to ~2·n·W scan adds.
 
-        TPU: the Pallas ladder mega-kernel + tree sum wins at every
-        measured size (one kernel launch and a ~20 s compile vs the XLA
-        paths' per-group-op launch overhead and tens-of-minutes compiles
-        at large n — BASELINE.md 'MSM' table), so it is the TPU path."""
+        TPU: below `MSM_BUCKET_CUTOFF` the Pallas ladder mega-kernel +
+        tree sum (one launch, ~20 s compile); above it the bucketed
+        Pippenger pipeline (`ops/msm_kernels.py`): XLA rank-grid
+        sort/gather + a Pallas bucket-accumulation kernel + suffix-scan/
+        Horner epilogue — ~5.5x fewer base-field muls per point than the
+        ladder (BASELINE.md 'MSM' table).  Set ARK_MSM_FORCE=ladder|bucket
+        to pin a path (benchmark harness)."""
+        import os
+
         n = int(np.prod(scalars.shape)) if scalars.shape else 1
         if jax.default_backend() == "tpu":
+            force = os.environ.get("ARK_MSM_FORCE", "")
+            use_bucket = (force == "bucket"
+                          or (n >= CurvePoint.MSM_BUCKET_CUTOFF
+                              and force != "ladder"))
+            if use_bucket:
+                from ..ops.msm_kernels import msm_bucket_tpu
+
+                return msm_bucket_tpu(points.reshape(n).broadcast_to((n,)),
+                                      scalars.reshape(n))
             # one dispatch for ladder + tree sum (eager tree levels would
             # each pay the tunnel RTT)
             return _msm_pallas_jit(points.reshape(n).broadcast_to((n,)),
@@ -551,9 +568,12 @@ def _msm_pippenger(points: CurvePoint, scalars: Scalar,
     # sum_d d*B_d = sum_k suffix_k: reuse the one-instantiation HS scan and
     # read its last element rather than unrolling a log-depth tree sum.
     win = _hs_prefix_scan(suffix, (nb - 1).bit_length())[..., -1]  # (W,)
+    return _horner_windows(win, c)
 
-    # Horner across windows (top first) as a lax.scan so the traced graph
-    # stays O(1) in W: acc <- 2^c * acc + win[w].
+
+def _horner_windows(win: CurvePoint, c: int) -> CurvePoint:
+    """Combine per-window sums (W,) into sum_w 2^(c*w) * win[w]: Horner
+    top-window-first under `lax.scan` so the traced graph is O(1) in W."""
     xs = jax.tree_util.tree_map(
         lambda l: jnp.moveaxis(l, 1, 0)[::-1], win)  # leaves (W, 16)
 

@@ -436,7 +436,7 @@ def _bcast_const(np_limbs, like):
 
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def mont_pow_fixed(spec: FieldSpec, x, exp_bits: tuple):
     """x^e in Montgomery domain, e given as a static tuple of bits (LSB first)."""
     one = jnp.asarray(spec.one_mont, U32).reshape((NLIMBS,) + (1,) * (x.ndim - 1))

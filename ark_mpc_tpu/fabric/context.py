@@ -133,11 +133,24 @@ class MpcFabric:
 
     # -- mesh placement ----------------------------------------------------
     def _place(self, limbs):
-        """Shard a (16, n) limb array over the mesh `batch` axis (no-op
-        without a mesh or when n does not divide the mesh size)."""
+        """Shard a (16, n) limb array over the mesh `batch` axis.
+
+        No-op without a mesh.  Batches smaller than the mesh stay
+        replicated (nothing to shard).  A batch LARGER than the mesh that
+        does not divide it RAISES — silently skipping the sharding (the
+        round-2 behavior) was a hidden perf/semantics cliff: the caller
+        believes the vector is distributed while every chip holds all of
+        it.  Pad the batch to a multiple of `mesh.size` at the
+        application boundary instead."""
         if self.mesh is None:
             return limbs
-        if limbs.ndim == 2 and limbs.shape[1] % self.mesh.size == 0:
+        if limbs.ndim == 2 and limbs.shape[1] >= self.mesh.size:
+            if limbs.shape[1] % self.mesh.size != 0:
+                raise ValueError(
+                    f"batch of {limbs.shape[1]} elements does not divide "
+                    f"the {self.mesh.size}-device mesh; pad the batch to a "
+                    f"multiple of the mesh size (mesh-attached fabrics "
+                    f"shard every vector end-to-end)")
             return jax.device_put(limbs, self._shard1d)
         return limbs
 

@@ -87,6 +87,8 @@ class TracedShare:
         return NotImplemented
 
     def __add__(self, other):
+        if type(other) is TracedShare:  # hot path: share + share
+            return self.tracer._mk("add", (self, other), None, self.shape)
         if isinstance(other, Scalar):
             return self.tracer._mk("add_pub", (self,), other, self.shape)
         if isinstance(other, TracedPublic):
@@ -100,6 +102,8 @@ class TracedShare:
     __radd__ = __add__
 
     def __sub__(self, other):
+        if type(other) is TracedShare:
+            return self.tracer._mk("sub", (self, other), None, self.shape)
         if isinstance(other, Scalar):
             return self.tracer._mk("add_pub", (self,), -other, self.shape)
         if isinstance(other, TracedPublic):
@@ -332,8 +336,10 @@ class Tracer:
         return TracedPointShare(self, node, share.shape)
 
     def _mk(self, op, deps, payload, shape) -> TracedShare:
-        node = self._new_node(op, tuple(d.node for d in deps), payload,
-                              tuple(shape))
+        nodes = self.nodes
+        node = _Node(op, tuple(d.node for d in deps), payload,
+                     tuple(shape), len(nodes))
+        nodes.append(node)
         return TracedShare(self, node, shape)
 
     def _mkp(self, op, deps, payload, shape) -> TracedPointShare:
@@ -351,7 +357,20 @@ class Tracer:
             verify: bool = True) -> list[ScalarShare]:
         """Evaluate the circuit: fuse per-round muls/invs, flush opens once,
         run ONE deferred MAC check at the end (when `verify`)."""
-        outputs = outputs or []
+        import gc
+
+        # the passes below allocate millions of short-lived dicts/tuples on
+        # big circuits; cyclic GC sweeps over the (acyclic) node graph grow
+        # superlinear — pause collection for the duration
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            return self._run(outputs or [], verify)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
+
+    def _run(self, outputs, verify):
         roots = ([o.node for o in outputs]
                  + [(h.node or h.source.node) for h in self.opens]
                  + [h.source.node for h in self.point_opens])

@@ -200,7 +200,12 @@ class LockstepTransport(Transport):
                         return True
                     return False
 
-                ok = sched.cond.wait_for(ready, timeout=600)
+                # first-call jit compiles through the remote tunnel can
+                # keep the peer busy for many minutes at production rings
+                import os as _os
+
+                _t = float(_os.environ.get("ARK_MPC_MOCK_TIMEOUT", "600"))
+                ok = sched.cond.wait_for(ready, timeout=_t)
                 sched.waiting[pid] = False
             if sched.deadlock:
                 raise ConnectionError(

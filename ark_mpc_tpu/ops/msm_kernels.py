@@ -82,7 +82,9 @@ def _rank_grid_jit(digits):
     # rank back in ORIGINAL point order
     rank = jnp.zeros_like(rank_sorted)
     rank = jax.vmap(lambda r, o, v: r.at[o].set(v))(rank, order, rank_sorted)
-    return rank, rank_sorted[:, -1].max() + 1
+    # global max rank: the deepest bucket can be ANY bucket, not the last
+    # sorted one (an interior bucket larger than the final digit's run)
+    return rank, rank_sorted.max() + 1
 
 
 def bucket_accumulate_pallas(px, py, pz, pt):

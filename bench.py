@@ -249,6 +249,21 @@ def main():
     mesh_n = int(os.environ.get("BENCH_MESH", "0"))
     if mesh_n:
         return run_mesh_scaling(mesh_n)
+    if os.environ.get("BENCH_WIRE") == "1":
+        # wire-inclusive two-process TCP+TLS benchmark (the reference's
+        # `batch_ops.rs:20-75` analog) — delegates to benchmarks/online_wire
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        out = subprocess.run(
+            [sys.executable, "-u",
+             os.path.join(here, "benchmarks", "online_wire.py")],
+            env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                     JAX_PLATFORMS="cpu"),
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+            check=True)
+        print(out.stdout.strip().splitlines()[-1])
+        return
     # Pallas path (default): 2^22 x 4 rounds = 2^24 total — the tiled
     # kernels keep conv/REDC temps in VMEM so batches scale to HBM capacity
     # (2^23 currently trips the dev tunnel's remote-compile helper).

@@ -33,9 +33,43 @@ def ladder_msm(pts, s):
 
 
 def pallas_msm(pts, s):
-    # the dispatched TPU path: jitted pallas windowed mega-kernel + tree
-    # sum, 1 dispatch
-    return CurvePoint.msm(s, pts)
+    # the windowed-ladder mega-kernel + tree sum, 1 dispatch
+    os.environ["ARK_MSM_FORCE"] = "ladder"
+    try:
+        return CurvePoint.msm(s, pts)
+    finally:
+        del os.environ["ARK_MSM_FORCE"]
+
+
+def bucket_msm(pts, s):
+    # the bucketed Pippenger pipeline (ops/msm_kernels.py)
+    from ark_mpc_tpu.ops.msm_kernels import msm_bucket_tpu
+
+    return msm_bucket_tpu(pts, s)
+
+
+def cpu_anchor_msm(n: int) -> float:
+    """Build + run the native multicore Pippenger anchor
+    (`native/msm_anchor.cpp`, the `benches/native_msm.rs:14-31` stand-in);
+    returns measured seconds per MSM of n points, or None."""
+    import pathlib
+    import subprocess
+
+    src = pathlib.Path(__file__).resolve().parents[1] / "native" / \
+        "msm_anchor.cpp"
+    exe = "/tmp/ark_mpc_tpu_msm_anchor"
+    try:
+        subprocess.run(["g++", "-O3", "-march=native", "-funroll-loops",
+                        "-o", exe, str(src), "-pthread"], check=True,
+                       capture_output=True)
+        out = subprocess.run([exe, str(n)], check=True, capture_output=True,
+                             text=True).stdout
+        import json as _json
+
+        return float(_json.loads(out.strip().splitlines()[-1])["seconds"])
+    except Exception as e:  # noqa: BLE001 - bench harness, report and skip
+        print(f"cpu msm anchor unavailable: {e}", file=sys.stderr)
+        return None
 
 
 @jax.jit
@@ -84,8 +118,9 @@ XLA_MAX = int(os.environ.get("XLA_MAX", "10"))  # log2 cap for XLA paths
 
 PALLAS_LADDER = os.environ.get("PALLAS_LADDER", "1") == "1"
 
-print(f"{'n':>8} {'pallas_ms':>10} {'plad_ms':>10} {'ladder_ms':>12} "
-      f"{'pippenger_ms':>12}", file=sys.stderr)
+print(f"{'n':>8} {'bucket_ms':>10} {'pallas_ms':>10} {'plad_ms':>10} "
+      f"{'cpu_ms':>10} {'ladder_ms':>12} {'pippenger_ms':>12}",
+      file=sys.stderr)
 rows = []
 for logn in SIZES:
     n = 1 << logn
@@ -95,19 +130,26 @@ for logn in SIZES:
     pts = CurvePoint.generator((n,)).mul(
         Scalar.from_ints([(7 * i + 3) % L for i in range(1, n + 1)]))
     jax.block_until_ready(pts.X.limbs)
+    row = {"n": n}
+    tb = bench(bucket_msm, pts, ks)
+    row["bucket_ms"] = round(tb * 1e3, 2)
     tk = bench(pallas_msm, pts, ks)
-    row = {"n": n, "pallas_ms": round(tk * 1e3, 2)}
+    row["pallas_ms"] = round(tk * 1e3, 2)
     if PALLAS_LADDER:
         tpl = bench(pallas_ladder_msm, pts, ks)
         row["pallas_ladder_ms"] = round(tpl * 1e3, 2)
+    tc = cpu_anchor_msm(n)
+    if tc is not None:
+        row["cpu_anchor_ms"] = round(tc * 1e3, 2)
     if logn <= XLA_MAX:
         tl = bench(ladder_msm, pts, ks)
         tp = bench(_msm_pippenger, pts, ks)
         row.update(ladder_ms=round(tl * 1e3, 2),
                    pippenger_ms=round(tp * 1e3, 2))
     rows.append(row)
-    print(f"{n:>8} {tk*1e3:>10.2f} "
+    print(f"{n:>8} {row['bucket_ms']:>10} {row['pallas_ms']:>10} "
           f"{row.get('pallas_ladder_ms', float('nan')):>10} "
+          f"{row.get('cpu_anchor_ms', float('nan')):>10} "
           f"{row.get('ladder_ms', float('nan')):>12} "
           f"{row.get('pippenger_ms', float('nan')):>12}",
           file=sys.stderr)

@@ -1,0 +1,73 @@
+"""Bucketed Pippenger MSM (`ops/msm_kernels.py`) vs the ladder reference.
+
+Covers the rank-grid layout (uniform and adversarially clustered digits),
+the identity-padding correctness (complete Edwards formulas), and the
+segment-splitting path.  Runs the Pallas kernel in interpret mode on CPU;
+the jit of `_msm_segment` alone compiles for minutes, hence `slow`.
+Reference analog: arkworks Pippenger (`curve.rs:549-584`,
+`benches/native_msm.rs:14-31`).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from ark_mpc_tpu.algebra.curve import CurvePoint, _scalar_digits, _scalar_mul
+from ark_mpc_tpu.algebra.scalar import Scalar
+from ark_mpc_tpu.ops import msm_kernels
+from ark_mpc_tpu.ops.msm_kernels import _rank_grid_host, msm_bucket_tpu
+
+pytestmark = pytest.mark.slow
+
+
+def _eq(a: CurvePoint, b: CurvePoint) -> bool:
+    return bool(np.asarray(jax.device_get(a.equals(b))))
+
+
+def test_rank_grid():
+    rng = np.random.default_rng(3)
+    sc = Scalar.random(32, rng)
+    digits = _scalar_digits(sc, msm_kernels.C_BITS)
+    rank, mx = _rank_grid_host(digits)
+    d = np.asarray(jax.device_get(digits))
+    r = np.asarray(jax.device_get(rank))
+    # within every window, ranks of equal digits are 0..count-1
+    for w in range(d.shape[0]):
+        for val in np.unique(d[w]):
+            rs = np.sort(r[w][d[w] == val])
+            assert list(rs) == list(range(len(rs)))
+    assert mx == int(r.max()) + 1
+
+
+def test_bucket_msm_matches_ladder():
+    rng = np.random.default_rng(7)
+    n = 64
+    pts = CurvePoint.random(n, rng)
+    sc = Scalar.random(n, rng)
+    got = msm_bucket_tpu(pts, sc)
+    want = _scalar_mul(pts, sc).sum()
+    assert _eq(got, want)
+
+
+def test_bucket_msm_clustered_scalars():
+    """All-equal scalars: every point lands in ONE bucket per window
+    (max_rank == n) — the adversarial case for the rank grid."""
+    rng = np.random.default_rng(8)
+    n = 16
+    pts = CurvePoint.random(n, rng)
+    sc = Scalar.random((), rng).broadcast_to((n,))
+    got = msm_bucket_tpu(pts, sc)
+    want = _scalar_mul(pts, sc).sum()
+    assert _eq(got, want)
+
+
+def test_bucket_msm_segments(monkeypatch):
+    """n above the segment cap splits and sums partial MSMs."""
+    monkeypatch.setattr(msm_kernels, "_SEGMENT", 16)
+    rng = np.random.default_rng(9)
+    n = 40
+    pts = CurvePoint.random(n, rng)
+    sc = Scalar.random(n, rng)
+    got = msm_bucket_tpu(pts, sc)
+    want = _scalar_mul(pts, sc).sum()
+    assert _eq(got, want)

@@ -25,6 +25,27 @@ def test_dryrun_multichip_subprocess():
     assert "dryrun_multichip OK" in res.stdout
 
 
+import pytest
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_mesh_fabric_multi_device(n_dev):
+    """The FULL fabric (share -> mul -> inverse -> folded deferred check,
+    honest + corrupted-MAC + unaligned-batch raise) on real 2/4/8-device
+    virtual CPU meshes (VERDICT r2 item 6).  Fresh interpreter per size:
+    device count is fixed at backend init."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "_mesh_fabric_prog.py"),
+         str(n_dev)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert res.returncode == 0, (res.stderr[-2000:], res.stdout[-500:])
+    assert f"MESH_FABRIC_OK {n_dev}" in res.stdout
+
+
 def test_mesh_fabric_in_process():
     """The mesh-attached fabric end-to-end on a 1-device mesh (same code
     path as N devices: placement, separate d/e exchange, folded deferred
