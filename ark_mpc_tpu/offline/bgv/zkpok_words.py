@@ -55,6 +55,8 @@ from .powerful import zk_word_counts
 L_MOD = SCALAR_FIELD.modulus
 W_PT = 6           # plaintext words: 16 x 16-bit limbs -> [3,3,3,3,3,1]
 _HALF_L = L_MOD // 2
+_V_CHUNK = 32      # challenge rows per device dispatch (memory cap: one
+#                    (V, L, phi) array at the production ring is ~2.9 GB)
 
 
 # ---------------------------------------------------------------------------
@@ -170,10 +172,19 @@ def encrypt_and_prove_batch(ring, pk_a, pk_b, pt_coeff_list, key,
     se0 = sample_balanced_words(host_rng, (v, phi), wu)
     se1 = sample_balanced_words(host_rng, (v, phi), wu)
 
-    comm = encrypt_with_randomness_l(
-        ring, pk_a, pk_b,
-        ring.lift_words(y), ring.lift_words(su),
-        ring.lift_words(se0), ring.lift_words(se1))
+    # commitment encryptions streamed in V-chunks: at the production ring
+    # one (V, L, phi) array is ~2.9 GB — the full-width encryption would
+    # hold several at once.  Chunk results land on HOST.
+    cc0, cc1 = [], []
+    for beg in range(0, v, _V_CHUNK):
+        end = min(beg + _V_CHUNK, v)
+        ch = encrypt_with_randomness_l(
+            ring, pk_a, pk_b,
+            ring.lift_words(y[beg:end]), ring.lift_words(su[beg:end]),
+            ring.lift_words(se0[beg:end]), ring.lift_words(se1[beg:end]))
+        cc0.append(np.asarray(jax.device_get(ch.c0)))
+        cc1.append(np.asarray(jax.device_get(ch.c1)))
+    comm = CiphertextL(np.concatenate(cc0), np.concatenate(cc1))
 
     w = _challenge(cts, comm, v, u_count)                   # (V, U) binary
 
@@ -214,15 +225,27 @@ def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
         return False
 
     w = _challenge(proof.cts, proof.comm, v, u_count)
-    lhs = encrypt_with_randomness_l(
-        ring, pk_a, pk_b,
-        ring.lift_words(proof.z), ring.lift_words(proof.zu),
-        ring.lift_words(proof.ze0), ring.lift_words(proof.ze1))
-    w_f32 = jnp.asarray(w, jnp.float32)
-    fold0, fold1 = _fold_cts(ring, w_f32, proof.cts.c0, proof.cts.c1)
-    rhs0 = ring.add(proof.comm.c0, fold0)
-    rhs1 = ring.add(proof.comm.c1, fold1)
-    return bool(jnp.all(lhs.c0 == rhs0)) and bool(jnp.all(lhs.c1 == rhs1))
+    cts_c0 = jnp.asarray(proof.cts.c0)
+    cts_c1 = jnp.asarray(proof.cts.c1)
+    comm_c0 = np.asarray(jax.device_get(proof.comm.c0))
+    comm_c1 = np.asarray(jax.device_get(proof.comm.c1))
+    # stream the verification equation in V-chunks (memory: see prover)
+    for beg in range(0, v, _V_CHUNK):
+        end = min(beg + _V_CHUNK, v)
+        lhs = encrypt_with_randomness_l(
+            ring, pk_a, pk_b,
+            ring.lift_words(proof.z[beg:end]),
+            ring.lift_words(proof.zu[beg:end]),
+            ring.lift_words(proof.ze0[beg:end]),
+            ring.lift_words(proof.ze1[beg:end]))
+        w_f32 = jnp.asarray(w[beg:end], jnp.float32)
+        fold0, fold1 = _fold_cts(ring, w_f32, cts_c0, cts_c1)
+        rhs0 = ring.add(jnp.asarray(comm_c0[beg:end]), fold0)
+        rhs1 = ring.add(jnp.asarray(comm_c1[beg:end]), fold1)
+        if not (bool(jnp.all(lhs.c0 == rhs0))
+                and bool(jnp.all(lhs.c1 == rhs1))):
+            return False
+    return True
 
 
 @partial(jax.jit, static_argnums=0)
@@ -264,7 +287,9 @@ def proof_from_arrays(items: list) -> CiphertextWithProofW:
     c0, c1, a0, a1, z, zu, ze0, ze1 = items
     return CiphertextWithProofW(
         CiphertextL(jnp.asarray(c0), jnp.asarray(c1)),
-        CiphertextL(jnp.asarray(a0), jnp.asarray(a1)),
+        # comm stays HOST-side: verify streams it in V-chunks (the full
+        # (V, L, phi) pair is ~6 GB at the production ring)
+        CiphertextL(np.asarray(a0), np.asarray(a1)),
         np.asarray(z, np.int64), np.asarray(zu, np.int64),
         np.asarray(ze0, np.int64), np.asarray(ze1, np.int64),
     )

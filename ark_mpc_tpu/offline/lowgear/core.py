@@ -122,6 +122,13 @@ class LowGear:
         self._jkey, sub = jax.random.split(self._jkey)
         return sub
 
+    def _round_batches(self, n_batches: int) -> int:
+        """Round a slot-batch count up to the stacked-dispatch chunk
+        (`triplets_l._STACK_CHUNK`) so all bgv-mode calls share one
+        compiled shape set (tunnel compiles dominate otherwise)."""
+        c = self._tl._STACK_CHUNK
+        return max(c, -(-n_batches // c) * c)
+
     # -- generation steps (`lowgear/mod.rs:178-190` sequencing) ------------
 
     def generate_triples(self, n: int) -> None:
@@ -152,12 +159,12 @@ class LowGear:
         if self.mode == "bgv":
             # the real protocol: local sampling + homomorphic MAC
             # (`shared_random.rs:56-71`); all slot-batches under ONE
-            # stacked exchange
+            # stacked exchange, batch count rounded to the compiled shape
             phi = self.ring.slots
             self.prep.randomness.add(
                 self._tl.generate_authenticated_randomness_l(
                     self.transport, self.setup, self.rng, self._next_key(),
-                    n_batches=(n + phi - 1) // phi))
+                    n_batches=self._round_batches((n + phi - 1) // phi)))
             return
         self.prep.randomness.add(
             protocols.generate_shared_randomness(self.fabric, n)
@@ -310,9 +317,14 @@ class LowGear:
         if self.mode == "bgv":
             phi = self.ring.slots
             # all slot-batches' enc(a) ciphertexts under ONE amortized
-            # ZK proof (`params.rs:65-67` batch structure)
+            # ZK proof (`params.rs:65-67` batch structure); batch count
+            # rounds up to the stacked-dispatch chunk so EVERY call (any
+            # n) reuses one compiled shape set — remote-tunnel compiles
+            # are minutes each, and the extra slot-batches are kept
+            # inventory, not waste
             return self._tl.generate_triple_pairs_batch_l(
-                self.transport, self.setup, (n + phi - 1) // phi,
+                self.transport, self.setup,
+                self._round_batches((n + phi - 1) // phi),
                 self.rng, self._next_key())
         d = self._dealer
         a_v = Scalar.random(n, d.rng)

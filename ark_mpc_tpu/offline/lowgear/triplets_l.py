@@ -8,10 +8,11 @@ products with drowning, authentication — and the outputs are
 `MpcFabric`.  Also implements *authenticated shared randomness* the real
 way (`lowgear/shared_random.rs:56-71`): local sampling + homomorphic MAC.
 
-Batch size per call = ring.phi slots (40 in the prototype; 24480 at the
-production parameters).  ZKPoK gating of the l-field exchange reuses the
-sigma-protocol design in `offline/bgv/zkpok.py`; generalizing its bounds to
-t = l is tracked in docs/parity.md #25.
+Batch size per call = ring.slots (40 in the prototype; 24480 at the
+production parameters); `generate_triple_pairs_batch_l` stacks any number
+of slot-batches into 3 wire rounds total.  ZKPoK gating of every l-field
+ciphertext exchange runs the word-form amortized sigma protocol
+(`offline/bgv/zkpok_words.py`) at 2^-128 knowledge error (ZK_ROWS).
 """
 
 from __future__ import annotations
@@ -349,7 +350,9 @@ def generate_input_masks_l(transport: Transport, st: SetupL, n: int,
     """
     ring = st.ring
     S = ring.slots
-    n_chunks = max(1, -(-n // S))
+    # round to the stacked-dispatch chunk: one compiled shape set
+    n_chunks = max(_STACK_CHUNK,
+                   -(-max(1, -(-n // S)) // _STACK_CHUNK) * _STACK_CHUNK)
     mine = Scalar.random((n_chunks, S), rng)
     zeros = Scalar.zeros((n_chunks, S))
     # canonical group order: party 0's stream first; ONE exchange for both

@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PORT = 9617
 
@@ -47,6 +49,7 @@ def _run_pair(extra, timeout, port):
     return r0
 
 
+@pytest.mark.slow
 def test_lowgear_e2e_over_tcp():
     """The dealer-free LowGear offline -> online flow as a registered
     integration case over the real wire (reference

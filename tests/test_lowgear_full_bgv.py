@@ -14,6 +14,10 @@ from ark_mpc_tpu.fabric.simulator import execute_mock_mpc
 from ark_mpc_tpu.offline.lowgear.core import LowGear
 from ark_mpc_tpu.offline.structs import OfflineSizingParams
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full BGV/ZK pipeline: minutes on CPU
+
 rng = random.Random(101)
 
 

@@ -2,6 +2,8 @@
 
 import random
 
+import pytest
+
 from ark_mpc_tpu import Scalar
 from ark_mpc_tpu.fabric.simulator import execute_mock_mpc_dealer
 
@@ -67,6 +69,7 @@ def test_traced_inverse_and_sum():
     assert r0 == r1 == [3]
 
 
+@pytest.mark.slow
 def test_traced_point_circuit():
     """Traced point ops: fused scalar-x-point Beaver level + point open
     flush + one deferred check round."""
@@ -106,6 +109,7 @@ def test_traced_point_circuit():
     assert t0 == [(sx.to_int(), sy.to_int())]
 
 
+@pytest.mark.slow
 def test_traced_pow():
     """Square-and-multiply power inside a trace; two pows of the same depth
     share Beaver rounds."""
@@ -129,6 +133,7 @@ def test_traced_pow():
     assert r0 == r1 == want
 
 
+@pytest.mark.slow
 def test_traced_open_reuse():
     """Mid-circuit opened values feed LATER traced computation
     (`fabric.rs:820-870` arbitrary dataflow through opens)."""
@@ -162,6 +167,7 @@ def test_traced_open_reuse():
     assert r0 == r1 == want_r
 
 
+@pytest.mark.slow
 def test_traced_gadgets():
     """bit_xor and prefix_product accept TracedShare operands."""
     from ark_mpc_tpu.gadgets import bit_xor, bit_xor_public, prefix_product
@@ -200,6 +206,7 @@ def test_traced_gadgets():
     assert pp0 == pp1 == want_pp
 
 
+@pytest.mark.slow
 def test_deep_chain_one_million_gates():
     """1M-gate linear chain (`fabric.rs:986-1002` analog): the iterative
     traversal must not hit the Python recursion limit."""
@@ -237,3 +244,56 @@ def test_deep_mul_chain():
 
     r0, r1 = execute_mock_mpc_dealer(prog)
     assert r0 == r1 == [pow(2, 201, L)]
+
+
+def test_affine_form_term_cap_tree_sum():
+    """A wide pairwise-add tree drives affine forms past _MAX_TERMS,
+    exercising the materialize-a-base path; result must equal the
+    plain sum."""
+    n = 64
+    vals = [rng.randrange(L) for _ in range(n)]
+
+    def prog(fabric):
+        sv = fabric.share_values(
+            Scalar.from_ints(vals) if fabric.party_id == 0 else None,
+            sender=0, n=n)
+        tr = fabric.tracer()
+        leaves = [tr.wrap(sv[i:i + 1]) for i in range(n)]
+        while len(leaves) > 1:
+            leaves = [leaves[i] + leaves[i + 1]
+                      for i in range(0, len(leaves), 2)]
+        o = leaves[0].open()
+        tr.run()
+        return o.value.to_ints()
+
+    r0, r1 = execute_mock_mpc_dealer(prog)
+    assert r0 == r1 == [sum(vals) % L]
+
+
+def test_affine_form_mixed_coefficients():
+    """Static Scalar coefficients, negations, public offsets, and an
+    opened-value (dynamic) multiply all composed in one trace."""
+    x_v, y_v = rng.randrange(L), rng.randrange(L)
+    k1, k2, c = rng.randrange(L), rng.randrange(L), rng.randrange(L)
+
+    def prog(fabric):
+        sx = fabric.share_values(
+            Scalar.from_ints([x_v]) if fabric.party_id == 0 else None,
+            sender=0, n=1)
+        sy = fabric.share_values(
+            Scalar.from_ints([y_v]) if fabric.party_id == 1 else None,
+            sender=1, n=1)
+        tr = fabric.tracer()
+        tx, ty = tr.wrap(sx), tr.wrap(sy)
+        lin = tx * Scalar.from_ints(k1) - ty * Scalar.from_ints(k2) \
+            + Scalar.from_ints(c) - (-ty)
+        op = (tx * ty).open()          # mid-circuit open
+        dyn = lin * op.as_public()     # dynamic public coefficient
+        o = dyn.open()
+        tr.run()
+        return o.value.to_ints()
+
+    r0, r1 = execute_mock_mpc_dealer(prog)
+    lin = (x_v * k1 - y_v * k2 + c + y_v) % L
+    want = lin * (x_v * y_v % L) % L
+    assert r0 == r1 == [want]

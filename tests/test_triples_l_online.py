@@ -21,6 +21,10 @@ from ark_mpc_tpu.offline.lowgear.triplets_l import (
 )
 from ark_mpc_tpu.offline.structs import LowGearPrep
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full BGV/ZK pipeline: minutes on CPU
+
 RING = default_ring()
 
 

@@ -12,6 +12,10 @@ from ark_mpc_tpu.offline.bgv.bgv_l import (
     keygen_l,
 )
 from ark_mpc_tpu.offline.bgv.zkpok_l import (
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full BGV/ZK pipeline: minutes on CPU
     CiphertextL,
     CiphertextWithProofL,
     encrypt_and_prove_batch_l,
