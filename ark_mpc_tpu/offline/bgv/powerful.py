@@ -303,9 +303,11 @@ class PowerfulRing:
         ]
         self.t_mod_q = [self.t % spec.q for spec in self.q_specs]
         self.neg_t_mod_q = [(-self.t) % spec.q for spec in self.q_specs]
-        # word lift weights 2^(48w) mod q_i (ZKPoK word-plane lifts)
+        # word lift weights 2^(48w) mod q_i (ZKPoK word-plane lifts); 16
+        # words cover any response width (wz = 9 at zk_sec = 128) with
+        # headroom — 8 was an off-by-the-security-upgrade trap
         self.word_weights_q = [
-            [pow(2, 48 * wdx, spec.q) for wdx in range(8)]
+            [pow(2, 48 * wdx, spec.q) for wdx in range(16)]
             for spec in self.q_specs
         ]
 

@@ -29,12 +29,10 @@ from ...fabric.transport import Transport
 from ..bgv.bgv_l import (
     CiphertextL,
     KeypairL,
-    _ring_jit,
     add_pt_l,
     decrypt_l,
     decode_slots_l,
     encode_slots_l,
-    encrypt_l,
     keygen_l,
     mul_pt_l,
     rerandomize_l,
@@ -82,22 +80,27 @@ def key_exchange_l(transport: Transport, ring: CyclotomicRing,
     return st
 
 
-@_ring_jit(6)
 def _masked_products_l(ring, pk_a, pk_b, ct: CiphertextL, factors: Scalar,
                        neg_masks: Scalar, key) -> CiphertextL:
     """The LowGear cross-product COMPUTE stage over a stacked batch
     (`triplets.rs:155-183` homomorphic side): enc_other(x) * factors
     - masks, drowned.  `factors`/`neg_masks` are (..., S) slot stacks;
     `ct` is (L, phi) (broadcast over the stack) or (..., L, phi).
-    On jit-capable rings the whole stage is ONE device dispatch."""
+
+    Deliberately composed from the individually jitted ring primitives
+    (each ONE cached dispatch) rather than fused into a stage-level jit:
+    the remote-compile tunnel's XLA:TPU compile time for the fused stage
+    graph is unbounded in practice (>35 min observed at the medium ring),
+    while every component compile is a measured known quantity
+    (BASELINE.md bgv_ops table).  Cost: ~5 dispatch RTTs per chunk."""
     prod = mul_pt_l(ring, ct, encode_slots_l(ring, factors))
     masked = add_pt_l(ring, prod, encode_slots_l(ring, neg_masks))
     return rerandomize_l(ring, pk_a, pk_b, masked, key)
 
 
-@_ring_jit(2)
 def _decrypt_decode_l(ring, sk, ct: CiphertextL) -> Scalar:
-    """Batched decrypt + slot decode (one dispatch on jit-capable rings)."""
+    """Batched decrypt + slot decode (2 cached dispatches; see
+    `_masked_products_l` for why this is not stage-fused)."""
     return decode_slots_l(ring, decrypt_l(ring, sk, ct))
 
 

@@ -184,19 +184,25 @@ def _msm_segment(points, scalars, max_rank: int):
     return _horner_windows(win, C_BITS)
 
 
+@jax.jit
+def _max_rank_of(scalars):
+    from ..algebra.curve import _scalar_digits
+
+    _, mx = _rank_grid_jit(_scalar_digits(scalars, C_BITS))
+    return mx
+
+
 def msm_bucket_tpu(points, scalars):
     """Full bucketed MSM entry: flat (n,) points x scalars -> CurvePoint.
     Splits into segments (HBM cap), reads back each segment's max bucket
-    occupancy (one scalar per segment), and sums the partial MSMs."""
-    from ..algebra.curve import CurvePoint, _scalar_digits
-
+    occupancy (one scalar per segment — the only host round trip), and
+    sums the partial MSMs."""
     n = points.shape[0]
     partials = []
     for beg in range(0, n, _SEGMENT):
         p = points[beg:beg + _SEGMENT]
         s = scalars[beg:beg + _SEGMENT]
-        digits = _scalar_digits(s, C_BITS)
-        _, mx = _rank_grid_host(digits)
+        mx = int(jax.device_get(_max_rank_of(s)))
         max_rank = -(-mx // _RANK_GRAN) * _RANK_GRAN
         partials.append(_msm_segment(p, s, max_rank))
     acc = partials[0]

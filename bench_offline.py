@@ -85,16 +85,18 @@ def party(fabric):
 
     # the remaining offline inventory (stocking order mirrors
     # `run_offline_phase`: randomness + extra triples feed the derived
-    # protocols' Beaver rounds)
-    n_inv = n_bits = ring.slots
-    t0 = time.time()
-    lg.generate_shared_randomness(2 * n_inv + n_bits)
-    lg.generate_triples(n_inv + n_bits)
-    lg.generate_inverse_tuples(n_inv)
-    lg.generate_shared_bits(n_bits)
-    lg.generate_input_masks(min(ring.slots, 64))
-    rest_s = time.time() - t0
-    log(f"randomness/inverse/bits/masks: {rest_s:.1f}s")
+    # protocols' Beaver rounds); REST=0 skips it (triples/s headline only)
+    rest_s = 0.0
+    if os.environ.get("REST", "1") == "1":
+        n_inv = n_bits = ring.slots
+        t0 = time.time()
+        lg.generate_shared_randomness(2 * n_inv + n_bits)
+        lg.generate_triples(n_inv + n_bits)
+        lg.generate_inverse_tuples(n_inv)
+        lg.generate_shared_bits(n_bits)
+        lg.generate_input_masks(min(ring.slots, 64))
+        rest_s = time.time() - t0
+        log(f"randomness/inverse/bits/masks: {rest_s:.1f}s")
 
     return {
         "setup_s": round(setup_s, 2),

@@ -9,15 +9,15 @@ from ark_mpc_tpu.fabric.simulator import execute_mock_mpc
 from ark_mpc_tpu.offline.bgv import test_params as small_params
 from ark_mpc_tpu.offline.lowgear.setup import run_key_exchange
 from ark_mpc_tpu.offline.lowgear.triplets_bgv import (
-
-import pytest
-
-pytestmark = pytest.mark.slow  # full BGV/ZK pipeline: minutes on CPU
     generate_triple_pairs,
     generate_triples,
 )
 
 P = small_params(n=256)
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full BGV/ZK pipeline: minutes on CPU
 
 
 def test_bgv_triple_pairs_share_a():

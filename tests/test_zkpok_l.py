@@ -12,10 +12,6 @@ from ark_mpc_tpu.offline.bgv.bgv_l import (
     keygen_l,
 )
 from ark_mpc_tpu.offline.bgv.zkpok_l import (
-
-import pytest
-
-pytestmark = pytest.mark.slow  # full BGV/ZK pipeline: minutes on CPU
     CiphertextL,
     CiphertextWithProofL,
     encrypt_and_prove_batch_l,
@@ -27,6 +23,10 @@ pytestmark = pytest.mark.slow  # full BGV/ZK pipeline: minutes on CPU
 RING = default_ring()
 KP = keygen_l(RING, jax.random.PRNGKey(0))
 rng = np.random.default_rng(13)
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full BGV/ZK pipeline: minutes on CPU
 
 
 def _prove(u=2):
