@@ -195,6 +195,34 @@ def _gf2_axis_apply(mat_re, mat_im, x_re, x_im, axis: int):
     return (jnp.moveaxis(rr, -1, 1 + axis), jnp.moveaxis(ri, -1, 1 + axis))
 
 
+@partial(jax.jit, static_argnums=(0, 2))
+def _lift_words_dev(ring, h, w_count: int):
+    """Biased 24-bit thirds (3, ..., phi, W) u32 -> per-prime COEFFICIENT
+    residues (..., L, phi): value = sum_w (h0 + h1 2^24 + h2 2^48 - 2^55)
+    * 2^(48 w) mod q_i, all in u32 Montgomery ops."""
+    out = []
+    for i, spec in enumerate(ring.q_specs):
+        q = spec.q
+        c24 = U32((1 << 24) * spec.r % q)        # Montgomery-form 2^24
+        c48 = U32(pow(2, 48, q) * spec.r % q)
+        bias = U32(pow(2, 55, q))
+        acc = None
+        for wdx in range(w_count):
+            h0 = h[0, ..., wdx] % U32(q)
+            h1 = h[1, ..., wdx]
+            h2 = h[2, ..., wdx]
+            t = m32.add32(spec, h0,
+                          m32.mont_mul32(spec, h1, jnp.full_like(h1, c24)))
+            t = m32.add32(spec, t,
+                          m32.mont_mul32(spec, h2, jnp.full_like(h2, c48)))
+            t = m32.sub32(spec, t, jnp.full_like(t, bias))
+            wmont = U32(ring.word_weights_q[i][wdx] * spec.r % q)
+            t = m32.mont_mul32(spec, t, jnp.full_like(t, wmont))
+            acc = t if acc is None else m32.add32(spec, acc, t)
+        out.append(acc)
+    return jnp.stack(out, axis=-2)
+
+
 # ---------------------------------------------------------------------------
 # the ring
 # ---------------------------------------------------------------------------
@@ -497,18 +525,24 @@ class PowerfulRing:
 
     def lift_words(self, words):
         """Signed 48-bit word planes (..., phi, W) int64 -> eval form
-        (the ZKPoK response lift; exact, vectorized)."""
+        (the ZKPoK response lift; exact).
+
+        DEVICE path: digits are |d| < 2^55 (zkpok_words' lazy bound), so
+        each is biased by 2^55 on host (3 cheap vectorized passes to
+        24-bit thirds) and the per-prime weighted reduction runs as u32
+        Montgomery arithmetic on device — the numpy modular loop was
+        ~O(L * W) full passes over the response array per proof chunk
+        (seconds per chunk at the production ring)."""
         words = np.asarray(words)
         w_count = words.shape[-1]
-        res = []
-        for i, spec in enumerate(self.q_specs):
-            acc = np.zeros(words.shape[:-1], dtype=np.int64)
-            for wdx in range(w_count):
-                acc = (acc + (words[..., wdx] % spec.q)
-                       * self.word_weights_q[i][wdx]) % spec.q
-            res.append(acc.astype(np.uint32))
-        coeffs = jnp.asarray(np.stack(res, axis=-2))
-        return self.to_eval(coeffs)
+        biased = (words + (1 << 55)).astype(np.uint64)  # < 2^56
+        m24 = np.uint64((1 << 24) - 1)
+        h = np.stack([
+            (biased & m24).astype(np.uint32),
+            ((biased >> np.uint64(24)) & m24).astype(np.uint32),
+            (biased >> np.uint64(48)).astype(np.uint32),
+        ])  # (3, ..., phi, W)
+        return self.to_eval(_lift_words_dev(self, jnp.asarray(h), w_count))
 
     def lift_object(self, arr):
         """(..., phi) object ints (any magnitude) -> eval form."""

@@ -219,3 +219,26 @@ def test_medium_ring_pipeline():
     got = decode_slots_l(ring, decrypt_l(ring, kp.sk, prod))
     want = [(x * y) % L for x, y in zip(a.to_ints(), b.to_ints())]
     assert got.to_ints() == want
+
+
+def test_lift_words_device_exact():
+    """Device-path ZK word lift (biased 24-bit thirds + u32 Montgomery)
+    vs python-int modular arithmetic, signed digits at the 2^55 bound."""
+    import jax
+    import numpy as np
+
+    from ark_mpc_tpu.offline.bgv.powerful import PowerfulRing
+
+    ring = PowerfulRing(35, n_q_primes=6)
+    rng = np.random.default_rng(2)
+    words = rng.integers(-(1 << 54), 1 << 54, (5, ring.phi, 9),
+                         dtype=np.int64)
+    # include exact bound edges
+    words[0, 0, 0] = (1 << 55) - 1
+    words[0, 1, 0] = -(1 << 55) + 1
+    got = np.asarray(jax.device_get(ring.from_eval(ring.lift_words(words))))
+    for i, q in enumerate(ring.q_primes):
+        want = np.zeros((5, ring.phi), dtype=np.int64)
+        for w in range(9):
+            want = (want + (words[..., w] % q) * pow(2, 48 * w, q)) % q
+        assert (got[..., i, :] == want).all()
