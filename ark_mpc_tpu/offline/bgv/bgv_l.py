@@ -138,15 +138,14 @@ def _sample_wide_uniform(ring, key, bound_bits: int, batch=()):
 
 
 def keygen_l(ring: CyclotomicRing, key) -> KeypairL:
-    ka, ks, ke = jax.random.split(key, 3)
-    s, _ = _sample_ternary(ring, ks)
-    e, _ = _sample_cbd(ring, ke)
-    a = jnp.stack(
-        [jax.random.randint(jax.random.fold_in(ka, i), (ring.phi,),
-                            0, spec.q, jnp.int32).astype(U32)
-         for i, spec in enumerate(ring.q_specs)], axis=-2)
-    b = ring.sub(ring.scalar_mul_t(e), ring.mul(a, s))
+    # Eager by choice: keygen runs once per session and the remote-compile
+    # tunnel takes tens of minutes for the keygen-sized fused graph while
+    # the eager per-prime op compiles are each small and cache well
+    # (same pathology as the fused offline stages — see
+    # `triplets_l._masked_products_l`).
+    s, a, b = _keygen_arrays.__wrapped__(ring, key)
     return KeypairL(ring, s, a, b)
+
 
 
 def _ring_jit(nargs: int):
@@ -177,6 +176,22 @@ def _ring_jit(nargs: int):
         return wrapper
 
     return deco
+
+
+@_ring_jit(1)
+def _keygen_arrays(ring, key):
+    """Keygen compute as ONE program: eager per-prime ring ops are
+    hundreds of tiny dispatches, each a cold remote compile when the RNS
+    basis changes (measured: minutes through the compile tunnel)."""
+    ka, ks, ke = jax.random.split(key, 3)
+    s, _ = _sample_ternary(ring, ks)
+    e, _ = _sample_cbd(ring, ke)
+    a = jnp.stack(
+        [jax.random.randint(jax.random.fold_in(ka, i), (ring.phi,),
+                            0, spec.q, jnp.int32).astype(U32)
+         for i, spec in enumerate(ring.q_specs)], axis=-2)
+    b = ring.sub(ring.scalar_mul_t(e), ring.mul(a, s))
+    return s, a, b
 
 
 @_ring_jit(1)

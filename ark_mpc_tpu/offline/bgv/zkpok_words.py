@@ -239,13 +239,22 @@ def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
             ring.lift_words(proof.ze0[beg:end]),
             ring.lift_words(proof.ze1[beg:end]))
         w_f32 = jnp.asarray(w[beg:end], jnp.float32)
-        fold0, fold1 = _fold_cts(ring, w_f32, cts_c0, cts_c1)
-        rhs0 = ring.add(jnp.asarray(comm_c0[beg:end]), fold0)
-        rhs1 = ring.add(jnp.asarray(comm_c1[beg:end]), fold1)
-        if not (bool(jnp.all(lhs.c0 == rhs0))
-                and bool(jnp.all(lhs.c1 == rhs1))):
+        eq = _fold_check(ring, w_f32, cts_c0, cts_c1,
+                         jnp.asarray(comm_c0[beg:end]),
+                         jnp.asarray(comm_c1[beg:end]),
+                         lhs.c0, lhs.c1)
+        if not bool(eq):
             return False
     return True
+
+
+@partial(jax.jit, static_argnums=0)
+def _fold_check(ring, w_f32, cts_c0, cts_c1, comm_c0, comm_c1, lhs0, lhs1):
+    """comm + W @ cts == lhs for one V-chunk, ONE dispatch."""
+    fold0, fold1 = _fold_cts.__wrapped__(ring, w_f32, cts_c0, cts_c1)
+    rhs0 = ring.add(comm_c0, fold0)
+    rhs1 = ring.add(comm_c1, fold1)
+    return jnp.all(lhs0 == rhs0) & jnp.all(lhs1 == rhs1)
 
 
 @partial(jax.jit, static_argnums=0)

@@ -34,6 +34,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+
+# Persistent XLA compilation cache: compiled executables land on local disk
+# keyed by program hash, so repeat runs (and fresh processes) skip the
+# remote-compile tunnel entirely — first-compile latency there is minutes
+# per program and was the dominant cost of every offline-phase run.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/ark_mpc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import subprocess
 import sys
 import time

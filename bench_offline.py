@@ -30,6 +30,14 @@ BATCHES = int(os.environ.get("BATCHES", "2"))
 # ~15 min at production rings through the remote-compile tunnel
 os.environ.setdefault("ARK_MPC_MOCK_TIMEOUT", "14400")
 
+# Persistent XLA compilation cache: compiled executables land on local disk
+# keyed by program hash, so repeat runs (and fresh processes) skip the
+# remote-compile tunnel entirely — first-compile latency there is minutes
+# per program and was the dominant cost of every offline-phase run.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/ark_mpc_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 
 def make_ring():
     from ark_mpc_tpu.offline.bgv.bgv_l import (

@@ -121,6 +121,7 @@ def test_random_points():
     assert affine_ints(fresh) != coords
 
 
+@pytest.mark.slow
 def test_msm_pippenger():
     """`CurvePoint.msm` above the cutoff routes to the sort+scan Pippenger
     (`_msm_pippenger`); validate against the exact python-int model,

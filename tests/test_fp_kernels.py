@@ -69,6 +69,7 @@ def test_beaver_round_pallas():
         assert got_s == want_s and got_m == want_m, j
 
 
+@pytest.mark.slow
 def test_ladder_pallas_interpret():
     """The Pallas ladder mega-kernel (ops/curve_kernels.py) against the
     XLA ladder, interpret mode, including the zero scalar and padding
@@ -95,6 +96,7 @@ def test_ladder_pallas_interpret():
     assert gy.to_ints() == wy.to_ints()
 
 
+@pytest.mark.slow
 def test_windowed_pallas_interpret():
     """The 4-bit windowed mega-kernel against the XLA ladder in interpret
     mode.  Full 64-window emulation costs ~20 min on CPU, so this runs the
@@ -130,6 +132,7 @@ def test_windowed_pallas_interpret():
                     reason="Pallas interpreter needs >20 min for the chained "
                            "kernel even at one tile; validated on TPU "
                            "(benchmarks/chain_kernel_check.py + bench.py)")
+@pytest.mark.slow
 def test_beaver_chain_pallas_interpret():
     """The headline chained mega-kernel (`beaver_chain_pallas`) vs the
     per-round fused-step reference, in interpret mode at one tile

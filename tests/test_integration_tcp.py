@@ -58,6 +58,8 @@ def test_lowgear_e2e_over_tcp():
     assert set(r) == {"lowgear_dealer_free_e2e"}
 
 
+@pytest.mark.slow  # two-process full registry: the reference's
+# integration tier is likewise separate from `cargo test --lib`
 def test_integration_registry_over_tcp():
     cmd = [sys.executable, "-m", "ark_mpc_tpu.integration",
            "--port", str(PORT), "--quiet"]

@@ -54,6 +54,7 @@ def _run_e2e(make_ring):
     assert z0 == z1 == want
 
 
+@pytest.mark.slow  # ~5 min of CPU jit compiles even at m=35
 def test_lowgear_on_powerful_ring():
     _run_e2e(lambda: PowerfulRing(35))
 

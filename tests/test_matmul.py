@@ -3,6 +3,7 @@
 import random
 
 import numpy as np
+import pytest
 
 from ark_mpc_tpu.algebra.fields import CURVE25519_ORDER as L
 from ark_mpc_tpu.algebra.scalar import Scalar
@@ -42,6 +43,7 @@ def test_field_matmul_square_larger():
     assert got == want
 
 
+@pytest.mark.slow
 def test_shared_matmul():
     m, k, n = 4, 5, 3
     a, b = rand_mat(m, k), rand_mat(k, n)

@@ -28,7 +28,11 @@ def test_dryrun_multichip_subprocess():
 import pytest
 
 
-@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("n_dev", [
+    2,
+    pytest.param(4, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow),
+])
 def test_mesh_fabric_multi_device(n_dev):
     """The FULL fabric (share -> mul -> inverse -> folded deferred check,
     honest + corrupted-MAC + unaligned-batch raise) on real 2/4/8-device

@@ -24,6 +24,7 @@ def affine(pt):
     return list(zip(x.to_ints(), y.to_ints()))
 
 
+@pytest.mark.slow
 def test_share_open_points():
     pts, _ = rand_points(2)
     want = affine(pts)
@@ -69,6 +70,7 @@ def test_beaver_scalar_point_mul():
     assert r0 == want and r1 == want
 
 
+@pytest.mark.slow
 def test_authenticated_msm():
     n = 2
     pts, _ = rand_points(n)

@@ -100,6 +100,7 @@ def test_slot_roundtrip():
     assert decode_slots_l(RING, encode_slots_l(RING, s)).to_ints() == s.to_ints()
 
 
+@pytest.mark.slow
 def test_encrypt_decrypt():
     s = rand_slots()
     ct = encrypt_l(
@@ -119,6 +120,7 @@ def test_device_crt_matches_host():
     assert RING.phase_to_pt(phase).to_ints() == want
 
 
+@pytest.mark.slow
 def test_drowned_slot_product():
     """The LowGear cross-product core at production noise: enc(a) * b - mask,
     drowned at sec = 128, decrypts slot-wise."""
@@ -162,6 +164,7 @@ def _prove(v=64):
     return pts, proof
 
 
+@pytest.mark.slow
 def test_zkpok_words_verifies():
     pts, proof = _prove()
     assert proof.z.shape[0] == 64  # soundness 2^-64

@@ -127,6 +127,7 @@ def _run_two_party(fn):
 
 
 class TestMacShareGating:
+    @pytest.mark.slow
     def test_key_exchange_rejects_bad_proof(self):
         """Tampering with the proved MAC-share ciphertext frame must abort
         the key exchange (the advisor's #33 gap: enc(mac_key_share) is now

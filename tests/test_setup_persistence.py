@@ -8,12 +8,14 @@ triples whose MACs verify cross-party under the persisted MAC key.
 """
 
 import numpy as np
+import pytest
 
 from ark_mpc_tpu.algebra.fields import CURVE25519_ORDER as L
 from ark_mpc_tpu.fabric.simulator import execute_mock_mpc
 from ark_mpc_tpu.offline.lowgear.core import LowGear
 
 
+@pytest.mark.slow
 def test_setup_roundtrip_and_resume():
     def prog(fabric):
         pid = fabric.party_id
@@ -57,6 +59,7 @@ def test_setup_roundtrip_and_resume():
         assert (va * vb) % L == vc
 
 
+@pytest.mark.slow
 def test_powerful_ring_setup_roundtrip():
     """PowerfulRing reconstruction path (production ring class) — metadata
     and RNS basis survive the byte round trip."""
