@@ -238,8 +238,8 @@ def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
             ring.lift_words(proof.zu[beg:end]),
             ring.lift_words(proof.ze0[beg:end]),
             ring.lift_words(proof.ze1[beg:end]))
-        w_f32 = jnp.asarray(w[beg:end], jnp.float32)
-        eq = _fold_check(ring, w_f32, cts_c0, cts_c1,
+        w_dev = jnp.asarray(w[beg:end], jnp.uint32)
+        eq = _fold_check(ring, w_dev, cts_c0, cts_c1,
                          jnp.asarray(comm_c0[beg:end]),
                          jnp.asarray(comm_c1[beg:end]),
                          lhs.c0, lhs.c1)
@@ -249,35 +249,35 @@ def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
 
 
 @partial(jax.jit, static_argnums=0)
-def _fold_check(ring, w_f32, cts_c0, cts_c1, comm_c0, comm_c1, lhs0, lhs1):
+def _fold_check(ring, w_u32, cts_c0, cts_c1, comm_c0, comm_c1, lhs0, lhs1):
     """comm + W @ cts == lhs for one V-chunk, ONE dispatch."""
-    fold0, fold1 = _fold_cts.__wrapped__(ring, w_f32, cts_c0, cts_c1)
+    fold0, fold1 = _fold_cts.__wrapped__(ring, w_u32, cts_c0, cts_c1)
     rhs0 = ring.add(comm_c0, fold0)
     rhs1 = ring.add(comm_c1, fold1)
     return jnp.all(lhs0 == rhs0) & jnp.all(lhs1 == rhs1)
 
 
 @partial(jax.jit, static_argnums=0)
-def _fold_cts(ring, w_f32, c0, c1):
+def _fold_cts(ring, w_u32, c0, c1):
     """W @ ct-stack per RNS prime in ONE dispatch, replacing the U-pass
-    eager select loop: 16-bit halves accumulate exactly in float32 matmuls
-    (binary W, halves < 2^16, U <= 256 terms => sums < 2^24, f32-exact),
-    then recombine mod q.  MXU-shaped on TPU."""
-    assert w_f32.shape[1] <= 256, "f32 fold exactness bound"
+    eager select loop.  Pure u32 modular select-adds unrolled over the
+    (small, static) U axis — an earlier f32-matmul formulation was exact
+    on CPU but WRONG on TPU, where f32 matmul inputs silently downcast to
+    bf16 (8-bit mantissa vs 16-bit ciphertext halves)."""
+    v = w_u32.shape[0]
+    u_count = w_u32.shape[1]
     outs = []
     for arr in (c0, c1):
-        per_prime = []
-        for i, spec in enumerate(ring.q_specs):
-            x = arr[:, i, :]                                  # (U, phi)
-            lo = jnp.dot(w_f32, (x & jnp.uint32(0xFFFF))
-                         .astype(jnp.float32))
-            hi = jnp.dot(w_f32, (x >> 16).astype(jnp.float32))
-            lo_u = lo.astype(jnp.uint32) % jnp.uint32(spec.q)
-            hi_u = hi.astype(jnp.uint32) % jnp.uint32(spec.q)
-            hi_r = m32.mont_mul32(spec, m32.to_mont32(spec, hi_u),
-                                  jnp.full_like(hi_u, jnp.uint32(1 << 16)))
-            per_prime.append(m32.add32(spec, hi_r, lo_u))
-        outs.append(jnp.stack(per_prime, axis=-2))
+        acc = jnp.zeros((v,) + arr.shape[1:], jnp.uint32)  # (V, L, phi)
+        for u in range(u_count):
+            sel = (w_u32[:, u] == 1)[:, None, None]
+            per_prime = [
+                m32.add32(spec, acc[:, i, :], arr[u, i, :][None])
+                for i, spec in enumerate(ring.q_specs)
+            ]
+            cand = jnp.stack(per_prime, axis=-2)
+            acc = jnp.where(sel, cand, acc)
+        outs.append(acc)
     return outs[0], outs[1]
 
 
