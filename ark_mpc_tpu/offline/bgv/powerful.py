@@ -196,6 +196,14 @@ def _gf2_axis_apply(mat_re, mat_im, x_re, x_im, axis: int):
 
 
 @partial(jax.jit, static_argnums=(0, 2))
+def _lift_words_eval(ring, h, w_count: int):
+    """Full word lift INCLUDING the coeff->eval transform in one program:
+    an eager `to_eval` is L x n_axes (~145) separate dispatches — through
+    the tunneled TPU that alone cost minutes per ZK proof."""
+    return ring.to_eval(_lift_words_dev.__wrapped__(ring, h, w_count))
+
+
+@partial(jax.jit, static_argnums=(0, 2))
 def _lift_words_dev(ring, h, w_count: int):
     """Biased 24-bit thirds (3, ..., phi, W) u32 -> per-prime COEFFICIENT
     residues (..., L, phi): value = sum_w (h0 + h1 2^24 + h2 2^48 - 2^55)
@@ -542,7 +550,7 @@ class PowerfulRing:
             ((biased >> np.uint64(24)) & m24).astype(np.uint32),
             (biased >> np.uint64(48)).astype(np.uint32),
         ])  # (3, ..., phi, W)
-        return self.to_eval(_lift_words_dev(self, jnp.asarray(h), w_count))
+        return _lift_words_eval(self, jnp.asarray(h), w_count)
 
     def lift_object(self, arr):
         """(..., phi) object ints (any magnitude) -> eval form."""

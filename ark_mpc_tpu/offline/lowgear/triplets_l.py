@@ -104,6 +104,18 @@ def _decrypt_decode_l(ring, sk, ct: CiphertextL) -> Scalar:
     return decode_slots_l(ring, decrypt_l(ring, sk, ct))
 
 
+def _timing(label: str, t0: float):
+    """ARK_MPC_TIMING=1: per-phase stderr timings (perf diagnosis)."""
+    import os
+    import sys
+    import time
+
+    if os.environ.get("ARK_MPC_TIMING") == "1":
+        print(f"[timing] {label}: {time.time() - t0:.2f}s",
+              file=sys.stderr, flush=True)
+    return time.time()
+
+
 def share_products_grouped_l(transport: Transport, st: SetupL,
                              groups: list, rng: np.random.Generator, jkey,
                              chunk: int = _STACK_CHUNK):
@@ -115,10 +127,14 @@ def share_products_grouped_l(transport: Transport, st: SetupL,
     groups in the same canonical order — rows ride one frame each way.
     Compute runs in `chunk`-row stacked dispatches (device-memory cap).
     Returns [(mask_i, dec_i)] per group, each (Ni, S)."""
+    import time as _time
+
     ring = st.ring
+    t0 = _time.time()
     sizes = [int(f.shape[0]) for _, f in groups]
     masks = [Scalar.random((n, ring.slots), rng) for n in sizes]
     keys = jax.random.split(jkey, len(groups))
+    t0 = _timing("grouped/mask-sample", t0)
 
     mine_c0, mine_c1 = [], []
     for gi, ((ct, factors), mask) in enumerate(zip(groups, masks)):
@@ -133,10 +149,12 @@ def share_products_grouped_l(transport: Transport, st: SetupL,
                 factors[beg:end], -mask[beg:end], ckeys[ci])
             mine_c0.append(np.asarray(jax.device_get(out.c0)))
             mine_c1.append(np.asarray(jax.device_get(out.c1)))
+    t0 = _timing("grouped/compute+readback", t0)
 
     frame_c0 = np.concatenate(mine_c0, axis=0)
     frame_c1 = np.concatenate(mine_c1, axis=0)
     their0, their1 = _exchange(transport, frame_c0, frame_c1)
+    t0 = _timing("grouped/exchange", t0)
 
     decs, off = [], 0
     for n in sizes:
@@ -148,6 +166,8 @@ def share_products_grouped_l(transport: Transport, st: SetupL,
                 CiphertextL(their0[beg:end], their1[beg:end])))
         decs.append(Scalar.concatenate(parts))
         off += n
+    jax.block_until_ready(decs[-1].limbs)
+    _timing("grouped/decrypt", t0)
     return list(zip(masks, decs))
 
 
@@ -298,11 +318,15 @@ def generate_triple_pairs_batch_l(transport: Transport, st: SetupL,
     b1 = Scalar.random((U, S), rng)
     b2 = Scalar.random((U, S), rng)
 
+    import time as _time
+
+    t0 = _time.time()
     enc_list = _exchange_encryptions_proven(
         transport, st, [encode_slots_l(ring, a[i]) for i in range(U)],
         rng, keys[0])
     enc_a = CiphertextL(jnp.stack([c.c0 for c in enc_list]),
                         jnp.stack([c.c1 for c in enc_list]))
+    _timing("pairs/enc_a-proof-exchange", t0)
     mac = st.other_mac_enc
     k_s = st.mac_key_share
 
