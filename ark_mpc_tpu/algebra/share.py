@@ -20,7 +20,7 @@ from dataclasses import dataclass
 import jax
 
 from . import limbs as lb
-from .scalar import Scalar, _broadcast_limbs
+from .scalar import FieldArray, Scalar, _broadcast_limbs
 
 PARTY0 = 0
 PARTY1 = 1
@@ -74,10 +74,20 @@ def _add_public2(spec, xs, xm, r, k, is_p0):
 
 @dataclass
 class ScalarShare:
-    """Additive share + SPDZ MAC share of a batch of field elements."""
+    """Additive share + SPDZ MAC share of a batch of field elements.
+
+    Generic over the share field: the contained `FieldArray` subclass
+    (Curve25519 `Scalar` by default, `bn254.Fr`, ...) carries the field
+    spec, mirroring the reference's genericity over `C: CurveGroup`
+    (`online-phase/src/lib.rs:75-78`).  All kernels read the spec from the
+    operand, never from a module-level constant."""
 
     share: Scalar
     mac: Scalar
+
+    @property
+    def field(self):
+        return type(self.share)
 
     @property
     def shape(self):
@@ -91,34 +101,35 @@ class ScalarShare:
     def __add__(self, other: "ScalarShare"):
         if _tracer(self.share.limbs, other.share.limbs):
             return ScalarShare(self.share + other.share, self.mac + other.mac)
-        s, m = _add2(Scalar.spec, self.share.limbs, self.mac.limbs,
+        s, m = _add2(self.share.spec, self.share.limbs, self.mac.limbs,
                      other.share.limbs, other.mac.limbs)
-        return ScalarShare(Scalar(s), Scalar(m))
+        return ScalarShare(self.field(s), self.field(m))
 
     def __sub__(self, other: "ScalarShare"):
         if _tracer(self.share.limbs, other.share.limbs):
             return ScalarShare(self.share - other.share, self.mac - other.mac)
-        s, m = _sub2(Scalar.spec, self.share.limbs, self.mac.limbs,
+        s, m = _sub2(self.share.spec, self.share.limbs, self.mac.limbs,
                      other.share.limbs, other.mac.limbs)
-        return ScalarShare(Scalar(s), Scalar(m))
+        return ScalarShare(self.field(s), self.field(m))
 
     def __neg__(self):
         if _tracer(self.share.limbs):
             return ScalarShare(-self.share, -self.mac)
-        s, m = _neg2(Scalar.spec, self.share.limbs, self.mac.limbs)
-        return ScalarShare(Scalar(s), Scalar(m))
+        s, m = _neg2(self.share.spec, self.share.limbs, self.mac.limbs)
+        return ScalarShare(self.field(s), self.field(m))
 
     def mul_public(self, rhs: Scalar):
         """Multiply by a public value: scales share and MAC (`share.rs:124-133`)."""
         if isinstance(rhs, int):
-            rhs = Scalar.from_ints(rhs)
+            rhs = self.field.from_ints(rhs)
         if _tracer(self.share.limbs, rhs.limbs):
             return ScalarShare(self.share * rhs, self.mac * rhs)
-        s, m = _mul2(Scalar.spec, self.share.limbs, self.mac.limbs, rhs.limbs)
-        return ScalarShare(Scalar(s), Scalar(m))
+        s, m = _mul2(self.share.spec, self.share.limbs, self.mac.limbs,
+                     rhs.limbs)
+        return ScalarShare(self.field(s), self.field(m))
 
     def __mul__(self, rhs):
-        if isinstance(rhs, Scalar):
+        if isinstance(rhs, FieldArray):
             return self.mul_public(rhs)
         return NotImplemented
 
@@ -130,9 +141,10 @@ class ScalarShare:
         if _tracer(self.share.limbs, rhs.limbs, mac_key.limbs):
             share = self.share + rhs if party_id == PARTY0 else self.share
             return ScalarShare(share, self.mac + mac_key * rhs)
-        s, m = _add_public2(Scalar.spec, self.share.limbs, self.mac.limbs,
-                            rhs.limbs, mac_key.limbs, party_id == PARTY0)
-        return ScalarShare(Scalar(s), Scalar(m))
+        s, m = _add_public2(self.share.spec, self.share.limbs,
+                            self.mac.limbs, rhs.limbs, mac_key.limbs,
+                            party_id == PARTY0)
+        return ScalarShare(self.field(s), self.field(m))
 
     def sub_public(self, rhs: Scalar, mac_key: Scalar, party_id: int):
         return self.add_public(-rhs, mac_key, party_id)
@@ -154,9 +166,10 @@ class ScalarShare:
 
     @classmethod
     def concatenate(cls, items, axis=0):
+        f = type(items[0].share)
         return cls(
-            Scalar.concatenate([it.share for it in items], axis=axis),
-            Scalar.concatenate([it.mac for it in items], axis=axis),
+            f.concatenate([it.share for it in items], axis=axis),
+            f.concatenate([it.mac for it in items], axis=axis),
         )
 
     def sum(self, axis=0):
@@ -164,8 +177,8 @@ class ScalarShare:
         return ScalarShare(self.share.sum(axis), self.mac.sum(axis))
 
     @classmethod
-    def zeros(cls, shape=()):
-        return cls(Scalar.zeros(shape), Scalar.zeros(shape))
+    def zeros(cls, shape=(), field=Scalar):
+        return cls(field.zeros(shape), field.zeros(shape))
 
     def __repr__(self):
         return f"ScalarShare(shape={self.shape})"

@@ -20,9 +20,10 @@ from ..algebra.scalar import Scalar
 
 
 def commit_bytes(data: bytes, blinder: Scalar) -> Scalar:
-    """Commitment scalar for pre-serialized value bytes and a blinder."""
+    """Commitment scalar for pre-serialized value bytes and a blinder
+    (field-generic: the digest maps into the blinder's field)."""
     digest = hashlib.sha3_256(data + blinder.to_bytes_be()).digest()
-    return Scalar.from_be_bytes_mod_order(digest)
+    return type(blinder).from_be_bytes_mod_order(digest)
 
 
 def verify_bytes(data: bytes, blinder: Scalar, commitment: Scalar) -> bool:

@@ -62,7 +62,8 @@ def _beaver_combine(party_id: int, a: ScalarShare, b: ScalarShare,
 def _mask_lhs_rhs(x: ScalarShare, y: ScalarShare, a: ScalarShare,
                   b: ScalarShare) -> Scalar:
     """Share parts of (x - a, y - b) concatenated for one open round."""
-    return Scalar.concatenate([(x - a).share, (y - b).share])
+    d = (x - a).share
+    return type(d).concatenate([d, (y - b).share])
 
 
 @jax.jit
@@ -115,6 +116,10 @@ class MpcFabric:
 
             self._shard1d = NamedSharding(mesh, P(None, "batch"))
         self.mac_key = offline.get_mac_key_share()
+        # the share field (FieldArray subclass) is carried by the offline
+        # source's MAC key: Curve25519 Scalar by default, bn254.Fr, ...
+        # (the reference's C: CurveGroup genericity, lib.rs:75-78)
+        self.field = type(self.mac_key)
         if rng is None:
             from ..utils.csprng import default_crypto_rng
 
@@ -155,7 +160,7 @@ class MpcFabric:
         return limbs
 
     def _place_scalar(self, s: Scalar) -> Scalar:
-        return Scalar(self._place(s.limbs))
+        return type(s)(self._place(s.limbs))
 
     def _place_share(self, sh: ScalarShare) -> ScalarShare:
         return ScalarShare(self._place_scalar(sh.share),
@@ -186,7 +191,7 @@ class MpcFabric:
     def exchange_scalars(self, s: Scalar) -> Scalar:
         """Exchange Montgomery-form limb arrays (`fabric.rs:751-765` analog)."""
         (theirs,) = self._exchange_arrays([np.asarray(jax.device_get(s.limbs))])
-        return Scalar(jnp.asarray(theirs))
+        return type(s)(jnp.asarray(theirs))
 
     # -- properties --------------------------------------------------------
     def mac_key_share(self) -> Scalar:
@@ -216,7 +221,7 @@ class MpcFabric:
             assert n is not None
             mask_share = self.offline.next_counterparty_input_mask_batch(n)
             (raw,) = self.recv_arrays()
-            masked = Scalar(jnp.asarray(raw))
+            masked = self.field(jnp.asarray(raw))
             shape = masked.shape
         mask_share = self._place_share(mask_share.reshape(mask_share.size))
         masked = self._place_scalar(masked.reshape(masked.size))
@@ -233,12 +238,23 @@ class MpcFabric:
     # -- opening -----------------------------------------------------------
     def open(self, x: ScalarShare) -> Scalar:
         """Open shares without MAC check (`authenticated_scalar.rs:129-172`):
-        one exchange of the share vector, one combine kernel."""
+        one exchange of the share vector, one combine kernel.
+
+        Mesh note: tracer flushes concatenate per-node batches of arbitrary
+        sizes, so an open's total width may not divide the mesh even when
+        every user-level op is aligned.  Unaligned widths fall back to a
+        replicated combine (like `mul`) instead of hard-failing mid-flush;
+        sharding resumes at the next aligned boundary."""
         with self._timed("open", x.size):
             mine = np.asarray(jax.device_get(x.share.limbs))  # mesh: gather
             (theirs,) = self._exchange_arrays([mine])
-            return _combine_open(x.share,
-                                 Scalar(self._place(jnp.asarray(theirs))))
+            theirs = jnp.asarray(theirs)
+            if (self.mesh is not None
+                    and theirs.shape[-1] % self.mesh.size != 0):
+                placed = theirs
+            else:
+                placed = self._place(theirs)
+            return _combine_open(x.share, type(x.share)(placed))
 
     def open_authenticated(self, x: ScalarShare, defer: bool = False) -> Scalar:
         """Open and check MACs (`authenticated_scalar.rs:278-354`).
@@ -270,7 +286,7 @@ class MpcFabric:
         one integer `psum` (`parallel/step.py:sharded_rlc_fold`)."""
         if self._deferred:
             d = self._deferred[0] if len(self._deferred) == 1 else \
-                Scalar.concatenate(self._deferred)
+                self.field.concatenate(self._deferred)
             self._deferred = []
             if fold is None:
                 fold = self.mesh is not None
@@ -292,7 +308,7 @@ class MpcFabric:
         from ..utils.csprng import CSPRNG
 
         mine = self.rng.bytes(32)
-        blinder = Scalar.random((), self.rng)
+        blinder = self.field.random((), self.rng)
         my_comm = commitment.commit_bytes(mine, blinder)
         peer_comm = self.exchange_scalars(my_comm)
         (peer_seed,) = self._exchange_arrays([bytes(mine)])
@@ -309,7 +325,7 @@ class MpcFabric:
         """Fold d to one scalar with public-coin coefficients (sampled AFTER
         every d value is fixed), then one commit-reveal zero test."""
         coin = self.public_coin_rng()
-        coeffs = Scalar.random(d.size, coin)
+        coeffs = self.field.random(d.size, coin)
         if self.mesh is not None and d.size % self.mesh.size == 0:
             from ..parallel.step import sharded_rlc_fold
 
@@ -363,7 +379,7 @@ class MpcFabric:
             return self._run_mac_check_inner(d)
 
     def _run_mac_check_inner(self, d: Scalar) -> None:
-        blinder = Scalar.random((), self.rng)
+        blinder = self.field.random((), self.rng)
         my_comm = commitment.commit(d, blinder)
 
         # Round 1: exchange commitments.
@@ -375,7 +391,8 @@ class MpcFabric:
         peer_blinder = self.exchange_scalars(blinder)
 
         # Verify: peer's commitment opens AND d_mine + d_peer == 0 pairwise.
-        peer_d = Scalar(_to_mont_arr(jnp.asarray(peer_d_canon)))
+        peer_d = self.field(
+            _to_mont_arr(self.field.spec, jnp.asarray(peer_d_canon)))
         if not commitment.verify(peer_d, peer_blinder, peer_comm):
             raise AuthenticationError("MAC check commitment failed to verify")
         ok = np.asarray(jax.device_get(_check_zero_sum(d, peer_d)))
@@ -402,14 +419,14 @@ class MpcFabric:
                 d_th, e_th = self._exchange_arrays([
                     np.asarray(jax.device_get(dm.limbs)),
                     np.asarray(jax.device_get(em.limbs))])
-                d = _combine_open(dm, Scalar(self._place(jnp.asarray(d_th))))
-                e = _combine_open(em, Scalar(self._place(jnp.asarray(e_th))))
+                d = _combine_open(dm, self.field(self._place(jnp.asarray(d_th))))
+                e = _combine_open(em, self.field(self._place(jnp.asarray(e_th))))
             else:
                 masked = _mask_lhs_rhs(xf, yf, a, b)
                 mine = np.asarray(jax.device_get(masked.limbs))
                 (theirs,) = self._exchange_arrays([mine])
-                opened = _combine_open(Scalar(masked.limbs),
-                                       Scalar(jnp.asarray(theirs)))
+                opened = _combine_open(self.field(masked.limbs),
+                                       self.field(jnp.asarray(theirs)))
                 d, e = opened[:n], opened[n:]
             out = self._beaver_combine_dispatch(a, b, c, d, e)
             return out.reshape(*shape)
@@ -428,7 +445,7 @@ class MpcFabric:
 
             def run(a_s, a_m, b_s, b_m, c_s, c_m, d_l, e_l, k_l):
                 zs, zm = beaver_round_pallas(
-                    Scalar.spec, self.party_id,
+                    self.field.spec, self.party_id,
                     a_s, a_m, b_s, b_m, c_s, c_m, d_l, e_l, k_l)
                 return zs, zm
 
@@ -445,7 +462,7 @@ class MpcFabric:
             zs, zm = run(
                 a.share.limbs, a.mac.limbs, b.share.limbs, b.mac.limbs,
                 c.share.limbs, c.mac.limbs, d.limbs, e.limbs, key_b)
-            return ScalarShare(Scalar(zs), Scalar(zm))
+            return ScalarShare(self.field(zs), self.field(zm))
         return _beaver_combine(self.party_id, a, b, c, d, e, self.mac_key)
 
     def mul_public(self, x: ScalarShare, k: Scalar) -> ScalarShare:
@@ -479,7 +496,7 @@ class MpcFabric:
         round depth is the cost that matters here)."""
         e = int(e)
         if e == 0:
-            return self.share_public(Scalar.ones(x.shape))
+            return self.share_public(self.field.ones(x.shape))
         shape = x.shape
         n = x.size
         result, base = None, x.reshape(n)
@@ -522,10 +539,10 @@ class MpcFabric:
 
     # -- constants (`fabric.rs:499-546`) -----------------------------------
     def zero_authenticated(self, shape=()) -> ScalarShare:
-        return ScalarShare.zeros(shape)
+        return ScalarShare.zeros(shape, field=self.field)
 
     def one_authenticated(self, shape=()) -> ScalarShare:
-        return self.share_public(Scalar.ones(shape))
+        return self.share_public(self.field.ones(shape))
 
     def tracer(self):
         """Start a batched-circuit trace (see fabric/scheduler.py)."""
@@ -549,9 +566,8 @@ class MpcFabric:
         self.transport.close()
 
 
-@jax.jit
-def _to_mont_arr(canon_limbs):
+@functools.partial(jax.jit, static_argnums=0)
+def _to_mont_arr(spec, canon_limbs):
     from ..algebra import limbs as lb
-    from ..algebra.fields import SCALAR_FIELD
 
-    return lb.to_mont(SCALAR_FIELD, canon_limbs)
+    return lb.to_mont(spec, canon_limbs)

@@ -171,16 +171,20 @@ class TrustedDealerSource(PreprocessingPhase):
     lowgear helpers.
     """
 
-    def __init__(self, party_id: int, seed: int = 0):
+    def __init__(self, party_id: int, seed: int = 0, field=Scalar):
+        """`field`: the FieldArray subclass shares live in (Curve25519
+        `Scalar` default; `bn254.Fr`, ... — the reference's `C: CurveGroup`
+        genericity, `online-phase/src/lib.rs:75-78`)."""
         assert party_id in (0, 1)
         self.party_id = party_id
+        self.field = field
         self.rng = np.random.default_rng(seed)
         key_halves = self._rand_scalars(2)
         self._mac_key_shares = key_halves
         self.mac_key = key_halves[0] + key_halves[1]
 
     def _rand_scalars(self, n) -> Scalar:
-        return Scalar.random(n, self.rng)
+        return self.field.random(n, self.rng)
 
     def _deal(self, values: Scalar) -> tuple[ScalarShare, ScalarShare]:
         """Split values into two authenticated shares."""
@@ -217,7 +221,7 @@ class TrustedDealerSource(PreprocessingPhase):
         return self._mine(self._deal(r)), self._mine(self._deal(r_inv))
 
     def next_shared_bit_batch(self, n: int) -> ScalarShare:
-        bits = Scalar.from_ints(self.rng.integers(0, 2, size=n).tolist())
+        bits = self.field.from_ints(self.rng.integers(0, 2, size=n).tolist())
         return self._mine(self._deal(bits))
 
     # Input masks: the sending party calls `next_local_input_mask_batch` at
@@ -249,11 +253,10 @@ class TrustedDealerSource(PreprocessingPhase):
 
     def next_poly_triplet(self, da: int, db: int):
         from ..algebra.poly import _conv_coeffs
-        from ..algebra.scalar import Scalar as _S
 
         p = self._rand_scalars(da + 1)
         q = self._rand_scalars(db + 1)
-        c = _S(_conv_coeffs(p.limbs, q.limbs))
+        c = self.field(_conv_coeffs(p.limbs, q.limbs))
         return (
             self._mine(self._deal(p)),
             self._mine(self._deal(q)),

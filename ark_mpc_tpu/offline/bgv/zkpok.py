@@ -62,9 +62,17 @@ def _lift_object_to_rns(params: BgvParams, arr) -> jnp.ndarray:
 
 
 def _challenge_matrix(params: BgvParams, cts: Ciphertext, comm: Ciphertext,
-                      v: int, u: int) -> np.ndarray:
-    """Fiat-Shamir binary challenge W in {0,1}^{V x U}."""
+                      v: int, u: int, pk_a=None, pk_b=None) -> np.ndarray:
+    """Fiat-Shamir binary challenge W in {0,1}^{V x U}, bound to the full
+    statement (public keys + ring params + dimensions, not only the
+    ciphertexts — MP-SPDZ NonInteractiveProof-style context binding)."""
     h = hashlib.sha3_256()
+    qs = ",".join(str(s.q) for s in params.q_specs)
+    h.update(f"ark-mpc-tpu-zkpok-proto-v1|n={params.n}|t={params.t}"
+             f"|k={params.cbd_k}|q={qs}|V={v}|U={u}".encode())
+    for a in (pk_a, pk_b):
+        if a is not None:
+            h.update(np.asarray(jax.device_get(a)).tobytes())
     for a in (cts.c0, cts.c1, comm.c0, comm.c1):
         h.update(np.asarray(jax.device_get(a)).tobytes())
     seed = h.digest()
@@ -128,7 +136,8 @@ def encrypt_and_prove_batch(params: BgvParams, pk_a, pk_b, pt_batch,
         _lift_object_to_rns(params, se1.astype(object)),
     )
 
-    w = _challenge_matrix(params, cts, comm, v, u_count)  # (V, U)
+    w = _challenge_matrix(params, cts, comm, v, u_count,
+                          pk_a, pk_b)  # (V, U)
 
     u_np = np.asarray(jax.device_get(u_raw), dtype=np.int64)
     e0_np = np.asarray(jax.device_get(e0_raw), dtype=np.int64)
@@ -197,7 +206,8 @@ def verify_proof(params: BgvParams, pk_a, pk_b,
         return False
 
     # 2. recompute the challenge
-    w = _challenge_matrix(params, proof.cts, proof.comm, v, u_count)
+    w = _challenge_matrix(params, proof.cts, proof.comm, v, u_count,
+                          pk_a, pk_b)
 
     # 3. Enc(z; zu, ze0, ze1) == A + W * C  (in R_q x R_q)
     lhs = encrypt_with_randomness(

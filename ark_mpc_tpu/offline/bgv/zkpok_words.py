@@ -111,6 +111,35 @@ def words_magnitude(words: np.ndarray) -> np.ndarray:
     return np.abs((words.astype(np.float64) * scale).sum(-1))
 
 
+# Exact-lift digit range: `PowerfulRing.lift_words` biases each signed
+# digit by 2^55 into uint64, so digits < -2^55 would wrap and lift to a
+# DIFFERENT ring element.  Honest (normalized) digits are <= ~2^48; the
+# verifier rejects anything at or beyond 2^54 so every accepted digit
+# lifts exactly with a 2x margin.
+DIGIT_BOUND = 1 << 54
+
+
+def normalize_words(words: np.ndarray) -> np.ndarray:
+    """Carry-propagate lazy signed base-2^48 digits into balanced form:
+    digits 0..W-2 land in [-2^47, 2^47), the remainder lands in the last
+    word.  Value-preserving.  Keeps honest response digits ~2^48 regardless
+    of the number of amortized ciphertexts U (the raw z = y + W@m digits
+    grow as U * 2^48 and would escape the exact device-lift range
+    [-2^55, ...) once U >= ~128)."""
+    w = words.shape[-1]
+    out = np.empty_like(words)
+    carry = np.zeros(words.shape[:-1], dtype=np.int64)
+    half = np.int64(1) << 47
+    mask = (np.int64(1) << 48) - 1
+    for i in range(w - 1):
+        t = words[..., i] + carry
+        lo = ((t + half) & mask) - half
+        out[..., i] = lo
+        carry = (t - lo) >> 48  # exact: t - lo is a multiple of 2^48
+    out[..., -1] = words[..., -1] + carry
+    return out
+
+
 # ---------------------------------------------------------------------------
 # the proof
 # ---------------------------------------------------------------------------
@@ -126,8 +155,26 @@ class CiphertextWithProofW:
     ze1: np.ndarray
 
 
-def _challenge(cts: CiphertextL, comm: CiphertextL, v: int, u: int):
+def _statement_tag(ring, pk_a, pk_b, v: int, u: int) -> bytes:
+    """Bind the Fiat-Shamir challenge to the FULL statement: both public
+    keys, the ring identity/parameters, and the proof dimensions (V, U) —
+    not only the ciphertexts.  Matches MP-SPDZ's NonInteractiveProof
+    context binding (`fhe/keys.rs:55-100`); prevents transplanting a proof
+    under a different key or ring."""
     h = hashlib.sha3_256()
+    qs = ",".join(str(s.q) for s in ring.q_specs)
+    h.update(
+        f"ark-mpc-tpu-zkpok-v1|{type(ring).__name__}|m={ring.m}"
+        f"|phi={ring.phi}|slots={ring.slots}|k={ring.cbd_k}"
+        f"|q={qs}|V={v}|U={u}".encode())
+    for a in (pk_a, pk_b):
+        h.update(np.asarray(jax.device_get(a)).tobytes())
+    return h.digest()
+
+
+def _challenge(cts: CiphertextL, comm: CiphertextL, v: int, u: int,
+               tag: bytes):
+    h = hashlib.sha3_256(tag)
     for a in (cts.c0, cts.c1, comm.c0, comm.c1):
         h.update(np.asarray(jax.device_get(a)).tobytes())
     seed = h.digest()
@@ -186,14 +233,17 @@ def encrypt_and_prove_batch(ring, pk_a, pk_b, pt_coeff_list, key,
         cc1.append(np.asarray(jax.device_get(ch.c1)))
     comm = CiphertextL(np.concatenate(cc0), np.concatenate(cc1))
 
-    w = _challenge(cts, comm, v, u_count)                   # (V, U) binary
+    tag = _statement_tag(ring, pk_a, pk_b, v, u_count)
+    w = _challenge(cts, comm, v, u_count, tag)              # (V, U) binary
 
     def respond(mask, witness, w_mask):
         # (V, U) @ (U, phi, W) -> (V, phi, W), padded to the mask's width
         acc = np.einsum("vu,upw->vpw", w, witness).astype(np.int64)
         if acc.shape[-1] < w_mask:
             acc = np.pad(acc, ((0, 0), (0, 0), (0, w_mask - acc.shape[-1])))
-        return mask + acc
+        # balanced-digit form: keeps every digit inside the verifier's
+        # DIGIT_BOUND (and the exact device-lift range) for any U
+        return normalize_words(mask + acc)
 
     return CiphertextWithProofW(
         cts, comm,
@@ -205,14 +255,34 @@ def encrypt_and_prove_batch(ring, pk_a, pk_b, pt_coeff_list, key,
 
 
 def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
-                 sec: int | None = None) -> bool:
+                 sec: int | None = None, v: int = 128,
+                 expected_u: int | None = None) -> bool:
+    """Verify an amortized proof.  `v` is the REQUIRED challenge-row count
+    (soundness 2^-v) — enforced against the proof, never read from it: a
+    malicious prover shipping fewer rows than the protocol demands is
+    rejected outright.  `expected_u` pins the ciphertext count when the
+    caller knows it (it always should on a protocol exchange)."""
     sec = sec if sec is not None else getattr(ring, "zk_sec", 64)
-    v = proof.z.shape[0]
+    phi = ring.phi
     u_count = int(proof.cts.c0.shape[0])
+    if expected_u is not None and u_count != expected_u:
+        return False
     k = ring.cbd_k
     wz, wu = zk_word_counts(sec, max(u_count, 2), k)
-    if proof.z.shape[-1] != wz or proof.zu.shape[-1] != wu:
+    ct_tail = tuple(proof.cts.c0.shape[1:])  # (L, phi) / ring layout
+    if (proof.z.shape != (v, phi, wz)
+            or proof.zu.shape != (v, phi, wu)
+            or proof.ze0.shape != (v, phi, wu)
+            or proof.ze1.shape != (v, phi, wu)
+            or tuple(proof.cts.c1.shape) != (u_count,) + ct_tail
+            or tuple(proof.comm.c0.shape) != (v,) + ct_tail
+            or tuple(proof.comm.c1.shape) != (v,) + ct_tail):
         return False
+    # per-digit exact-lift range (see DIGIT_BOUND): the value-level bound
+    # below cannot see wrapping digit patterns that cancel in float64
+    for arr in (proof.z, proof.zu, proof.ze0, proof.ze1):
+        if int(np.abs(arr).max()) >= DIGIT_BOUND:
+            return False
     b_y = 2.0 ** (48 * wz - 1)
     b_u = 2.0 ** (48 * wu - 1)
     eps = 1.0 + 2.0 ** -40
@@ -224,7 +294,8 @@ def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
            words_magnitude(proof.ze1).max()) > (b_u + u_count * k) * eps:
         return False
 
-    w = _challenge(proof.cts, proof.comm, v, u_count)
+    tag = _statement_tag(ring, pk_a, pk_b, v, u_count)
+    w = _challenge(proof.cts, proof.comm, v, u_count, tag)
     cts_c0 = jnp.asarray(proof.cts.c0)
     cts_c1 = jnp.asarray(proof.cts.c1)
     comm_c0 = np.asarray(jax.device_get(proof.comm.c0))

@@ -6,15 +6,19 @@ the per-party state, sequences `run_offline_phase` (`lowgear/mod.rs:178-190`)
 bits, shared randomness, input masks — and packages a serializable
 `LowGearPrep` the online fabric consumes.
 
-Triple *generation* in the reference is BGV-homomorphic (Fig. 7 of LowGear,
-`lowgear/triplets.rs:30-234`): sample a, b, b'; homomorphic products
-c = a*b, c' = a*b'; authenticate; sacrifice.  The TPU BGV pipeline
-(`ark_mpc_tpu.offline.bgv`) is under construction; until it produces
-ciphertext products, raw candidate triples come from an honest-dealer
-source, and everything DOWNSTREAM of generation — authentication layout,
-the pair sacrifice, MAC checks, inverse tuples, bit generation — runs as the
-real two-party protocol over the transport, so the BGV swap-in is localized
-to `_raw_triple_pairs`.
+Two modes:
+
+- mode="bgv" (the production path, dealer-free): raw triple pairs,
+  authenticated randomness, and input masks come from the TPU-resident
+  BGV-over-l pipeline (`triplets_l.py` — ZK-gated enc(a) exchange,
+  homomorphic cross products with drowning, homomorphic MACs, Fig. 7 of
+  LowGear / `lowgear/triplets.rs:30-234`), after a real key exchange with
+  a proved enc(mac_share).  The pair sacrifice, MAC checks, inverse
+  tuples, and bit generation run downstream as the real two-party
+  protocol over the transport.
+- mode="dealer" (tests only): raw candidate material comes from an
+  honest-dealer source with identical shapes/semantics, so the downstream
+  protocols can be exercised in isolation and fast.
 """
 
 from __future__ import annotations
@@ -171,10 +175,20 @@ class LowGear:
         )
 
     def generate_input_masks(self, n: int) -> None:
-        """Input masks (`lowgear/input_masks.rs:15-58`)."""
+        """Input masks (`lowgear/input_masks.rs:15-58`).
+
+        bgv mode generates in whole rounded-up slot-batch chunks and KEEPS
+        the surplus: a later request that fits the existing inventory makes
+        no BGV exchange at all.  (The skip decision is symmetric across
+        parties — both stores shrink in lockstep as masks are consumed, so
+        neither party blocks on a one-sided exchange.)"""
         if self.mode == "bgv":
+            have = min(len(self.prep.my_mask_shares),
+                       len(self.prep.counterparty_mask_shares))
+            if have >= n:
+                return  # served from the rounded-up surplus inventory
             clear, mine, cp = self._tl.generate_input_masks_l(
-                self.transport, self.setup, n,
+                self.transport, self.setup, n - have,
                 local_first=(self.party_id == 0), rng=self.rng,
                 jkey=self._next_key())
             self.prep.my_masks_clear.append(clear)

@@ -127,3 +127,53 @@ def test_sacrifice_detects_bad_triple():
 
     with pytest.raises(Exception):
         execute_mock_mpc_dealer(prog)
+
+
+def test_input_mask_surplus_kept_as_inventory():
+    """bgv-mode input masks round up to whole slot-batch chunks; the
+    surplus must be KEPT (like triples) so a later small request makes NO
+    new BGV exchange (VERDICT r3 item 6; `lowgear/input_masks.rs:15-58`)."""
+    import jax
+
+    from ark_mpc_tpu.algebra.share import ScalarShare
+
+    S = 12  # stub ring slot count
+    calls: list[int] = []
+
+    class StubTL:
+        _STACK_CHUNK = 4
+
+        @staticmethod
+        def generate_input_masks_l(transport, setup, n, local_first, rng,
+                                   jkey):
+            calls.append(n)
+            n_chunks = max(4, -(-max(1, -(-n // S)) // 4) * 4)
+            total = n_chunks * S
+            clear = Scalar.random(total, rng)
+            zero = Scalar.zeros(total)
+            return clear, ScalarShare(clear, clear), ScalarShare(zero, zero)
+
+    lg = object.__new__(LowGear)
+    lg.mode = "bgv"
+    lg.party_id = 0
+    lg.transport = None
+    lg.setup = None
+    lg.rng = np.random.default_rng(0)
+    lg._tl = StubTL
+    lg._jkey = jax.random.PRNGKey(0)
+    lg.prep = LowGearPrep(mac_key_share=Scalar.from_ints([1]))
+
+    lg.generate_input_masks(5)
+    assert calls == [5]
+    assert len(lg.prep.my_mask_shares) == 48  # 4 chunks x 12 slots kept
+
+    # second small request: served entirely from the surplus inventory
+    lg.generate_input_masks(7)
+    assert calls == [5]
+
+    clear, share = lg.prep.next_local_input_mask_batch(7)
+    assert clear.size == 7 and share.size == 7
+
+    # a request beyond the remaining inventory generates only the deficit
+    lg.generate_input_masks(60)
+    assert calls == [5, 60 - 41]
