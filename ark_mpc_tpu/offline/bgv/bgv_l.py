@@ -329,3 +329,121 @@ def rerandomize_l(ring, pk_a, pk_b, ct: CiphertextL, key,
     z0 = ring.add(ring.mul(pk_b, u), ring.scalar_mul_t(e0))
     z1 = ring.add(ring.mul(pk_a, u), ring.scalar_mul_t(e1))
     return CiphertextL(ring.add(ct.c0, z0), ring.add(ct.c1, z1))
+
+
+# -- ciphertext x ciphertext (relinearized) ----------------------------------
+# The reference FFI exposes homomorphic ciphertext multiplication with the
+# public key (`mp-spdz-rs/src/fhe/ciphertext.rs:121-146`, bridged at
+# `src/ffi.rs:118-131`).  LowGear itself never multiplies two ciphertexts,
+# but the capability is part of the surface.  TPU-native design: the
+# degree-2 tensor product is three pointwise eval-form products; the s^2
+# component is relinearized with the RNS-digit key-switching of
+# Halevi-Polyakov-Shoup (one digit per RNS prime: D_i(c) = [c*qhat_i^-1]_{q_i}
+# lifted back to the full basis, with Sum_i D_i * qhat_i == c (mod q) by CRT).
+# Noise: ~ t * v1 * v2 * gamma + L * q_i * t * e * gamma — hundreds of bits
+# below the drowning-sized modulus for fresh/lightly-noised operands (the
+# intended regime, matching the reference's usage); multiplying a DROWNED
+# ciphertext exceeds the budget by design.
+
+
+@dataclass
+class RelinKeyL:
+    """Key-switching key for s^2 -> s: row i encrypts qhat_i * s^2 under s
+    (b_i + a_i*s = t*e_i + qhat_i*s^2)."""
+
+    b: jnp.ndarray  # (L, L, phi) eval form
+    a: jnp.ndarray  # (L, L, phi)
+
+
+jax.tree_util.register_pytree_node(
+    RelinKeyL,
+    lambda k: ((k.b, k.a), None),
+    lambda aux, ch: RelinKeyL(*ch),
+)
+
+
+@_ring_jit(2)
+def gen_relin_key_l(ring, sk, key) -> RelinKeyL:
+    """Generate the relinearization key (PowerfulRing rings; requires the
+    ring's RNS CRT constants).  One (b_i, a_i) pair per RNS prime, all
+    rows generated in ONE batched pass over the digit axis (a per-digit
+    Python loop traces an L^2-sized graph — the known XLA:CPU superlinear
+    compile pathology)."""
+    from ...ops import modular32 as m32
+
+    n_q = len(ring.q_specs)
+    s2 = ring.mul(sk, sk)
+    ka, ke = jax.random.split(key)
+    # uniform a: (L_dig, L, phi) — one randint per prime, batched over digits
+    a = jnp.stack(
+        [jax.random.randint(jax.random.fold_in(ka, j), (n_q, ring.phi),
+                            0, spec.q, jnp.int32).astype(U32)
+         for j, spec in enumerate(ring.q_specs)], axis=-2)
+    e, _ = _sample_cbd(ring, ke, batch=(n_q,))
+    # qhat_i * s^2 in RNS form: qhat_i = q/q_i is divisible by every q_j
+    # except q_i, so digit i's row only survives at prime i, scaled by
+    # qhat_i mod q_i — a diagonal placement over (digit, prime)
+    diag = jnp.stack(
+        [m32.mont_mul32(
+            spec, s2[..., i, :],
+            jnp.full((ring.phi,),
+                     U32((ring.q_hat[i] % spec.q) * spec.r % spec.q)))
+         for i, spec in enumerate(ring.q_specs)])            # (L, phi)
+    idx = jnp.arange(n_q)
+    qhat_s2 = jnp.zeros((n_q, n_q, ring.phi), U32).at[idx, idx, :].set(diag)
+    b = ring.sub(ring.add(ring.scalar_mul_t(e), qhat_s2),
+                 ring.mul(a, sk))
+    return RelinKeyL(b, a)
+
+
+def _rns_digits(ring, c):
+    """RNS digit decomposition of an eval-form element (..., L, phi):
+    digit i is [c * qhat_i^-1]_{q_i} as an integer polynomial < q_i,
+    re-lifted to the full RNS basis in eval form; returns (..., L, L, phi)
+    with the digit index at axis -3.  Exact by CRT:
+    Sum_i digit_i * qhat_i == c (mod q).
+
+    Digit extraction rides the ring's OWN from_eval (row i inverse-
+    transformed at prime i is exactly per-digit extraction) and ONE
+    batched to_eval over the digit axis — 2L prime-transforms total; the
+    naive per-digit loop traces L^2 transforms and compiles for minutes."""
+    from ...ops import modular32 as m32
+
+    rows = [
+        m32.mont_mul32(spec, c[..., i, :],
+                       jnp.full_like(c[..., i, :],
+                                     U32(ring.qhatinv_mont[i])))
+        for i, spec in enumerate(ring.q_specs)
+    ]
+    coeff = ring.from_eval(jnp.stack(rows, axis=-2))  # (..., L, phi)
+    digs = jnp.stack(
+        [jnp.stack([coeff[..., i, :] % U32(spec_j.q)
+                    for spec_j in ring.q_specs], axis=-2)
+         for i in range(len(ring.q_specs))], axis=-3)  # (..., L, L, phi)
+    return ring.to_eval(digs)
+
+
+@_ring_jit(3)
+def mul_ct_l(ring, rlk: RelinKeyL, x: CiphertextL,
+             y: CiphertextL) -> CiphertextL:
+    """Homomorphic ciphertext x ciphertext with relinearization
+    (`fhe/ciphertext.rs:121-146` `mul_ciphertext` analog)."""
+    e0 = ring.mul(x.c0, y.c0)
+    e1 = ring.add(ring.mul(x.c0, y.c1), ring.mul(x.c1, y.c0))
+    e2 = ring.mul(x.c1, y.c1)
+    digits = _rns_digits(ring, e2)                     # (..., L, L, phi)
+    c0 = ring.add(e0, _sum_digit_axis(ring, ring.mul(digits, rlk.b)))
+    c1 = ring.add(e1, _sum_digit_axis(ring, ring.mul(digits, rlk.a)))
+    return CiphertextL(c0, c1)
+
+
+def _sum_digit_axis(ring, x):
+    """Modular tree-sum over the digit axis (-3): log2(L) ring adds
+    instead of an L-long sequential loop (compile-size control)."""
+    while x.shape[-3] > 1:
+        half = x.shape[-3] // 2
+        s = ring.add(x[..., :half, :, :], x[..., half:2 * half, :, :])
+        if x.shape[-3] % 2:
+            s = jnp.concatenate([s, x[..., 2 * half:, :, :]], axis=-3)
+        x = s
+    return x[..., 0, :, :]

@@ -88,10 +88,12 @@ def _rank_grid_jit(digits):
 
 
 def bucket_accumulate_pallas(px, py, pz, pt):
-    """coords (W, R, NLIMBS, N_BUCKETS) -> bucket sums
-    (W, NLIMBS, N_BUCKETS) per coordinate.  TPU-sequential grid (W, R);
-    bucket scratch persists across the R axis and resets at r == 0."""
-    W, R = px.shape[0], px.shape[1]
+    """coords (W, R, NLIMBS, n_buckets) -> bucket sums
+    (W, NLIMBS, n_buckets) per coordinate.  TPU-sequential grid (W, R);
+    bucket scratch persists across the R axis and resets at r == 0.
+    The bucket count is read from the input shape (production: N_BUCKETS;
+    tests run tiny grids under the interpreter)."""
+    W, R, nb = px.shape[0], px.shape[1], px.shape[-1]
     B = BASE_FIELD
 
     def kernel(x_r, y_r, z_r, t_r, ox, oy, oz, ot, bx, by, bz, bt):
@@ -99,15 +101,15 @@ def bucket_accumulate_pallas(px, py, pz, pt):
 
         @pl.when(r == 0)
         def _init():
-            bx[...] = jnp.zeros((NLIMBS, N_BUCKETS), jnp.uint32)
+            bx[...] = jnp.zeros((NLIMBS, nb), jnp.uint32)
             by[...] = jnp.concatenate(
-                [jnp.ones((1, N_BUCKETS), jnp.uint32),
-                 jnp.zeros((NLIMBS - 1, N_BUCKETS), jnp.uint32)], 0)
+                [jnp.ones((1, nb), jnp.uint32),
+                 jnp.zeros((NLIMBS - 1, nb), jnp.uint32)], 0)
             bz[...] = by[...]
-            bt[...] = jnp.zeros((NLIMBS, N_BUCKETS), jnp.uint32)
+            bt[...] = jnp.zeros((NLIMBS, nb), jnp.uint32)
 
         d2 = jnp.concatenate(
-            [jnp.full((1, N_BUCKETS), v, jnp.uint32) for v in _ED_2D_LIMBS],
+            [jnp.full((1, nb), v, jnp.uint32) for v in _ED_2D_LIMBS],
             0)
         x, y, z, t = _padd(
             B, bx[...], by[...], bz[...], bt[...],
@@ -121,13 +123,13 @@ def bucket_accumulate_pallas(px, py, pz, pt):
             oz[0] = bz[...]
             ot[0] = bt[...]
 
-    tile_in = pl.BlockSpec((1, 1, NLIMBS, N_BUCKETS),
+    tile_in = pl.BlockSpec((1, 1, NLIMBS, nb),
                            lambda w, r: (w, r, 0, 0),
                            memory_space=pltpu.VMEM)
-    tile_out = pl.BlockSpec((1, NLIMBS, N_BUCKETS), lambda w, r: (w, 0, 0),
+    tile_out = pl.BlockSpec((1, NLIMBS, nb), lambda w, r: (w, 0, 0),
                             memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((W, NLIMBS, N_BUCKETS), jnp.uint32)
-    scratch = [pltpu.VMEM((NLIMBS, N_BUCKETS), jnp.uint32)] * 4
+    out = jax.ShapeDtypeStruct((W, NLIMBS, nb), jnp.uint32)
+    scratch = [pltpu.VMEM((NLIMBS, nb), jnp.uint32)] * 4
     return pl.pallas_call(
         kernel,
         grid=(W, R),

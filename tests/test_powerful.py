@@ -324,3 +324,43 @@ def test_lift_words_device_exact():
         for w in range(9):
             want = (want + (words[..., w] % q) * pow(2, 48 * w, q)) % q
         assert (got[..., i, :] == want).all()
+
+
+def test_ct_mul_relinearized():
+    """ct x ct with RNS-digit keyswitching decrypts to the slot-wise
+    product (`mp-spdz-rs/src/fhe/ciphertext.rs:121-146` mul_ciphertext
+    analog; VERDICT r3 missing #1)."""
+    from ark_mpc_tpu.offline.bgv.bgv_l import gen_relin_key_l, mul_ct_l
+
+    a, b = rand_slots(), rand_slots()
+    rlk = gen_relin_key_l(RING, KP.sk, jax.random.PRNGKey(20))
+    ca = encrypt_l(
+        RING, KP.pk_a, KP.pk_b, encode_slots_l(RING, a), jax.random.PRNGKey(21)
+    )
+    cb = encrypt_l(
+        RING, KP.pk_a, KP.pk_b, encode_slots_l(RING, b), jax.random.PRNGKey(22)
+    )
+    got = decode_slots_l(RING, decrypt_l(RING, KP.sk, mul_ct_l(RING, rlk, ca, cb)))
+    want = [(x * y) % L for x, y in zip(a.to_ints(), b.to_ints())]
+    assert got.to_ints() == want
+
+
+def test_ct_mul_then_add_pt():
+    """Relinearized products compose with further homomorphic ops."""
+    from ark_mpc_tpu.offline.bgv.bgv_l import gen_relin_key_l, mul_ct_l
+
+    a, b, c = rand_slots(), rand_slots(), rand_slots()
+    rlk = gen_relin_key_l(RING, KP.sk, jax.random.PRNGKey(23))
+    ca = encrypt_l(
+        RING, KP.pk_a, KP.pk_b, encode_slots_l(RING, a), jax.random.PRNGKey(24)
+    )
+    cb = encrypt_l(
+        RING, KP.pk_a, KP.pk_b, encode_slots_l(RING, b), jax.random.PRNGKey(25)
+    )
+    ct = add_pt_l(RING, mul_ct_l(RING, rlk, ca, cb), encode_slots_l(RING, c))
+    got = decode_slots_l(RING, decrypt_l(RING, KP.sk, ct))
+    want = [
+        (x * y + z) % L
+        for x, y, z in zip(a.to_ints(), b.to_ints(), c.to_ints())
+    ]
+    assert got.to_ints() == want
