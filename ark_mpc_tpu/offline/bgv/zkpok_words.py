@@ -55,8 +55,20 @@ from .powerful import zk_word_counts
 L_MOD = SCALAR_FIELD.modulus
 W_PT = 6           # plaintext words: 16 x 16-bit limbs -> [3,3,3,3,3,1]
 _HALF_L = L_MOD // 2
-_V_CHUNK = 32      # challenge rows per device dispatch (memory cap: one
-#                    (V, L, phi) array at the production ring is ~2.9 GB)
+U32 = jnp.uint32
+
+
+def _v_chunk(ring, v: int) -> int:
+    """Challenge rows per device dispatch, sized to the ring: target
+    ~350 MB of (chunk, L, phi) u32 ciphertext pair per dispatch (one
+    (V=128, L, phi) array at the production ring is ~2.9 GB; at the
+    medium/test rings the whole proof fits in one dispatch and chunking
+    only multiplies dispatch+readback round trips)."""
+    row_bytes = len(ring.q_specs) * ring.phi * 4 * 2
+    c = max(1, min(v, (350 << 20) // row_bytes))
+    # power of two: chunk sizes that don't divide V would compile several
+    # tail shapes (V is 128 or a small power of two in practice)
+    return 1 << (c.bit_length() - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -223,8 +235,9 @@ def encrypt_and_prove_batch(ring, pk_a, pk_b, pt_coeff_list, key,
     # one (V, L, phi) array is ~2.9 GB — the full-width encryption would
     # hold several at once.  Chunk results land on HOST.
     cc0, cc1 = [], []
-    for beg in range(0, v, _V_CHUNK):
-        end = min(beg + _V_CHUNK, v)
+    vc = _v_chunk(ring, v)
+    for beg in range(0, v, vc):
+        end = min(beg + vc, v)
         ch = encrypt_with_randomness_l(
             ring, pk_a, pk_b,
             ring.lift_words(y[beg:end]), ring.lift_words(su[beg:end]),
@@ -301,8 +314,9 @@ def verify_proof(ring, pk_a, pk_b, proof: CiphertextWithProofW,
     comm_c0 = np.asarray(jax.device_get(proof.comm.c0))
     comm_c1 = np.asarray(jax.device_get(proof.comm.c1))
     # stream the verification equation in V-chunks (memory: see prover)
-    for beg in range(0, v, _V_CHUNK):
-        end = min(beg + _V_CHUNK, v)
+    vc = _v_chunk(ring, v)
+    for beg in range(0, v, vc):
+        end = min(beg + vc, v)
         lhs = encrypt_with_randomness_l(
             ring, pk_a, pk_b,
             ring.lift_words(proof.z[beg:end]),
@@ -330,26 +344,42 @@ def _fold_check(ring, w_u32, cts_c0, cts_c1, comm_c0, comm_c1, lhs0, lhs1):
 
 @partial(jax.jit, static_argnums=0)
 def _fold_cts(ring, w_u32, c0, c1):
-    """W @ ct-stack per RNS prime in ONE dispatch, replacing the U-pass
-    eager select loop.  Pure u32 modular select-adds unrolled over the
-    (small, static) U axis — an earlier f32-matmul formulation was exact
-    on CPU but WRONG on TPU, where f32 matmul inputs silently downcast to
-    bf16 (8-bit mantissa vs 16-bit ciphertext halves)."""
+    """W @ ct-stack per RNS prime in ONE dispatch.  Exact integer path:
+    residues split into 16-bit halves, selected halves accumulated as raw
+    u32 sums under a `lax.scan` over U (overflow-free for U <= 2^16), then
+    reduced mod each prime once.  The earlier form unrolled U x L modular
+    select-adds — at U >= ~130 that graph segfaulted XLA:CPU (the repo's
+    known superlinear-unroll pathology); an even earlier f32-matmul form
+    was exact on CPU but WRONG on TPU (bf16 downcast of matmul inputs)."""
     v = w_u32.shape[0]
     u_count = w_u32.shape[1]
-    outs = []
-    for arr in (c0, c1):
-        acc = jnp.zeros((v,) + arr.shape[1:], jnp.uint32)  # (V, L, phi)
-        for u in range(u_count):
-            sel = (w_u32[:, u] == 1)[:, None, None]
-            per_prime = [
-                m32.add32(spec, acc[:, i, :], arr[u, i, :][None])
-                for i, spec in enumerate(ring.q_specs)
-            ]
-            cand = jnp.stack(per_prime, axis=-2)
-            acc = jnp.where(sel, cand, acc)
-        outs.append(acc)
-    return outs[0], outs[1]
+    assert u_count <= (1 << 16), "fold accumulator overflows past U = 2^16"
+    shape = (v,) + c0.shape[1:]                       # (V, L, phi)
+
+    def fold(arr):
+        lo = arr & jnp.uint32(0xFFFF)
+        hi = arr >> 16
+
+        def body(acc, xs):
+            w_col, lo_u, hi_u = xs                    # (V,), (L, phi)
+            sel = (w_col == 1)[:, None, None]
+            zero = jnp.uint32(0)
+            return (acc[0] + jnp.where(sel, lo_u[None], zero),
+                    acc[1] + jnp.where(sel, hi_u[None], zero)), None
+
+        init = (jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.uint32))
+        (slo, shi), _ = jax.lax.scan(body, init, (w_u32.T, lo, hi))
+        out = []
+        for i, spec in enumerate(ring.q_specs):
+            l_r = slo[:, i, :] % U32(spec.q)
+            h_r = shi[:, i, :] % U32(spec.q)
+            h_shift = m32.mont_mul32(
+                spec, m32.to_mont32(spec, h_r),
+                jnp.full_like(h_r, U32(1 << 16)))
+            out.append(m32.add32(spec, h_shift, l_r))
+        return jnp.stack(out, axis=-2)
+
+    return fold(c0), fold(c1)
 
 
 # ---------------------------------------------------------------------------

@@ -128,9 +128,9 @@ class LowGear:
 
     def _round_batches(self, n_batches: int) -> int:
         """Round a slot-batch count up to the stacked-dispatch chunk
-        (`triplets_l._STACK_CHUNK`) so all bgv-mode calls share one
+        (`triplets_l.stack_chunk(ring)`) so all bgv-mode calls share one
         compiled shape set (tunnel compiles dominate otherwise)."""
-        c = self._tl._STACK_CHUNK
+        c = self._tl.stack_chunk(self.ring)
         return max(c, -(-n_batches // c) * c)
 
     # -- generation steps (`lowgear/mod.rs:178-190` sequencing) ------------

@@ -42,12 +42,28 @@ from .setup import _exchange
 
 # device-memory cap for one stacked pipeline dispatch: at the production
 # ring one slot-batch row is ~10 MB of ciphertext and the batched decrypt
-# holds a (16, L, chunk, phi) limb intermediate (~85 MB/row).  Tunable:
-# a 16 GB v5e chip takes 8-16 rows comfortably; the chunk also fixes the
-# compiled shape set, so change it once per deployment, not per call.
+# holds a (16, L, chunk, phi) limb intermediate (~85 MB/row); at the
+# medium/test rings a row is ~100 KB and a tiny chunk only multiplies
+# dispatch round trips.  `stack_chunk(ring)` sizes the chunk to the ring
+# (ARK_MPC_STACK_CHUNK overrides); _STACK_CHUNK stays as the
+# production-ring default for callers without a ring in hand.
 import os as _os
 
 _STACK_CHUNK = int(_os.environ.get("ARK_MPC_STACK_CHUNK", "4"))
+
+
+def stack_chunk(ring) -> int:
+    """Slot-batch rows per stacked device dispatch for this ring."""
+    env = _os.environ.get("ARK_MPC_STACK_CHUNK")
+    if env:
+        return int(env)
+    row_bytes = len(ring.q_specs) * ring.phi * 4 * 2
+    # decrypt holds a (16, L, chunk, phi) limb intermediate ~ 8.5x row
+    c = max(1, (384 << 20) // (row_bytes * 9))
+    c = min(64, c)
+    if c <= 4:
+        return 4  # production-scale rings: the measured-safe default
+    return 1 << (c.bit_length() - 1)  # round down to a power of two
 
 
 @dataclass
@@ -122,7 +138,7 @@ def _timing(label: str, t0: float):
 
 def share_products_grouped_l(transport: Transport, st: SetupL,
                              groups: list, rng: np.random.Generator, jkey,
-                             chunk: int = _STACK_CHUNK):
+                             chunk: int | None = None):
     """N cross-products over F_l with ONE wire exchange
     (`triplets.rs:155-234`, coalesced): `groups` is a list of
     `(enc_other, factors)` where `factors` is a Scalar stack (Ni, S) and
@@ -134,6 +150,8 @@ def share_products_grouped_l(transport: Transport, st: SetupL,
     import time as _time
 
     ring = st.ring
+    if chunk is None:
+        chunk = stack_chunk(ring)
     t0 = _time.time()
     sizes = [int(f.shape[0]) for _, f in groups]
     masks = [Scalar.random((n, ring.slots), rng) for n in sizes]
@@ -399,8 +417,8 @@ def generate_input_masks_l(transport: Transport, st: SetupL, n: int,
     ring = st.ring
     S = ring.slots
     # round to the stacked-dispatch chunk: one compiled shape set
-    n_chunks = max(_STACK_CHUNK,
-                   -(-max(1, -(-n // S)) // _STACK_CHUNK) * _STACK_CHUNK)
+    c = stack_chunk(ring)
+    n_chunks = max(c, -(-max(1, -(-n // S)) // c) * c)
     mine = Scalar.random((n_chunks, S), rng)
     zeros = Scalar.zeros((n_chunks, S))
     # canonical group order: party 0's stream first; ONE exchange for both

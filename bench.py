@@ -266,8 +266,10 @@ def main():
         out = subprocess.run(
             [sys.executable, "-u",
              os.path.join(here, "benchmarks", "online_wire.py")],
-            env=dict(os.environ, PALLAS_AXON_POOL_IPS="",
-                     JAX_PLATFORMS="cpu"),
+            env=(dict(os.environ)
+                 if os.environ.get("BENCH_WIRE_TPU") == "1" else
+                 dict(os.environ, PALLAS_AXON_POOL_IPS="",
+                      JAX_PLATFORMS="cpu")),
             stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
             check=True)
         print(out.stdout.strip().splitlines()[-1])

@@ -72,18 +72,18 @@ def party(fabric):
     setup_s = time.time() - t0
     log(f"key exchange + proofs: {setup_s:.1f}s")
 
-    # warm-up: ONE slot batch through the full pipeline to pay every
-    # first-call jit compile (the remote-compile tunnel makes these
-    # minutes-long; steady state is what a production prep run amortizes to)
+    # warm-up at the MEASURED batch count: jit shapes depend on the
+    # per-call U (proof fold, stacked encrypts), so warming at a smaller U
+    # would push minutes of tunnel compiles into the timed region
+    n_triples = ring.slots * BATCHES
     t0 = time.time()
-    lg.generate_triples(1)
+    lg.generate_triples(n_triples)
     warm = len(lg.prep.triples)
     warm_s = time.time() - t0
-    log(f"warm-up batch ({warm} triples): {warm_s:.1f}s (compiles)")
+    log(f"warm-up call ({warm} triples): {warm_s:.1f}s (compiles)")
 
     # steady-state triple throughput: BATCHES slot batches through the
     # full Fig.7 pair flow + sacrifice
-    n_triples = ring.slots * BATCHES
     t0 = time.time()
     lg.generate_triples(n_triples)
     triples_s = time.time() - t0

@@ -10,16 +10,21 @@ batch, one authenticated open, ONE deferred folded MAC check — timed
 INCLUDING all serialization and wire traffic, reporting bytes/messages
 from the transport counters.
 
-Both parties run on CPU: the image exposes a single tunneled TPU chip and
-its dispatch path is not safe under two concurrent client processes (see
-.claude/skills/verify); the wire-inclusive number is therefore a
-transport+protocol efficiency measurement, not a TPU kernel number — the
-kernel number is bench.py's.  Offline material comes pre-stocked from the
-seeded dealer (the reference benches against `PartyIDBeaverSource` mocks
-the same way).
+Default mode runs both parties on CPU: the image exposes a single
+tunneled TPU chip and its dispatch path is not safe under two concurrent
+client processes (see .claude/skills/verify).
+
+BENCH_WIRE_TPU=1 puts the chip IN the loop: party 0 runs its kernels on
+the tunneled TPU while party 1 runs on CPU, and the reported number is
+the max-of-parties wall time — the reference's own convention
+(`circuit_mul_throughput.rs:11-44`).  Every tunnel readback (including
+the MAC-check value readback) lands inside the timed region.  Offline
+material comes pre-stocked from the seeded dealer (the reference benches
+against `PartyIDBeaverSource` mocks the same way).
 
 Usage:
-  python benchmarks/online_wire.py               # orchestrates both parties
+  python benchmarks/online_wire.py               # both parties CPU
+  BENCH_WIRE_TPU=1 python benchmarks/online_wire.py   # party 0 on the chip
   BENCH_WIRE_N=1048576 BENCH_WIRE_ROUNDS=4 python benchmarks/online_wire.py
   python benchmarks/online_wire.py --party 0|1 --port P   # one party
 
@@ -44,7 +49,8 @@ SEED = 1234
 def run_party(party: int, port: int) -> dict:
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("BENCH_WIRE_DEVICE") != "tpu":
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np  # noqa: F401
 
     from ark_mpc_tpu.fabric.context import MpcFabric
@@ -52,9 +58,13 @@ def run_party(party: int, port: int) -> dict:
     from ark_mpc_tpu.offline.base import TrustedDealerSource
 
     dealer = TrustedDealerSource(party, seed=SEED)
-    transport = TcpTransport(party, "127.0.0.1", port, timeout=600,
+    # TPU mode: the peer blocks on recv while this party pays tunnel
+    # compiles (minutes on first run), so the recv timeout must cover them
+    transport = TcpTransport(party, "127.0.0.1", port, timeout=1800,
                              tls=True)
     fabric = MpcFabric(party, transport, dealer, collect_stats=True)
+    print(f"[wire p{party}] backend={jax.default_backend()}",
+          file=sys.stderr, flush=True)
 
     # pre-stock inputs + warm the kernels OUTSIDE the timed region
     x = dealer.next_shared_value_batch(N)
@@ -88,6 +98,7 @@ def run_party(party: int, port: int) -> dict:
         "rounds": ROUNDS,
         "elapsed_s": round(elapsed, 3),
         "mults_per_sec": round(total / elapsed, 1),
+        "backend": jax.default_backend(),
         "net": net,
         "bytes_per_mult": round(net["bytes_sent"] / total, 2),
     }
@@ -104,19 +115,28 @@ def main():
         print(json.dumps(res))
         return
 
-    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    tpu_mode = os.environ.get("BENCH_WIRE_TPU") == "1"
+    cpu_env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    if tpu_mode:
+        # party 0 on the tunneled chip: restore the axon plugin env even if
+        # a parent (bench.py) forced the CPU platform
+        p0_env = {k: v for k, v in os.environ.items()
+                  if k not in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")}
+        p0_env["BENCH_WIRE_DEVICE"] = "tpu"
+    else:
+        p0_env = cpu_env
     here = pathlib.Path(__file__).resolve()
     p1 = subprocess.Popen(
         [sys.executable, "-u", str(here), "--party", "1",
          "--port", str(args.port)],
-        env=env, stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+        env=cpu_env, stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
     time.sleep(1.0)
     p0 = subprocess.run(
         [sys.executable, "-u", str(here), "--party", "0",
          "--port", str(args.port)],
-        env=env, stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+        env=p0_env, stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
         check=True)
-    p1.wait(timeout=600)
+    p1.wait(timeout=1800)
     r0 = json.loads(p0.stdout.strip().splitlines()[-1])
     r1 = json.loads(p1.stdout.read().strip().splitlines()[-1])
     # max-of-parties wall time, the reference's convention
@@ -131,7 +151,9 @@ def main():
         "rounds": r0["rounds"],
         "bytes_per_mult_each_way": r0["bytes_per_mult"],
         "net_party0": r0["net"],
-        "transport": "tcp+tls1.3 localhost, 2 processes, cpu",
+        "party_elapsed_s": {"p0": r0["elapsed_s"], "p1": r1["elapsed_s"]},
+        "transport": "tcp+tls1.3 localhost, 2 processes, "
+                     + (f"p0={r0['backend']} p1={r1['backend']}"),
     }))
 
 

@@ -144,6 +144,10 @@ def test_input_mask_surplus_kept_as_inventory():
         _STACK_CHUNK = 4
 
         @staticmethod
+        def stack_chunk(ring):
+            return 4
+
+        @staticmethod
         def generate_input_masks_l(transport, setup, n, local_first, rng,
                                    jkey):
             calls.append(n)
@@ -158,6 +162,7 @@ def test_input_mask_surplus_kept_as_inventory():
     lg.party_id = 0
     lg.transport = None
     lg.setup = None
+    lg.ring = None
     lg.rng = np.random.default_rng(0)
     lg._tl = StubTL
     lg._jkey = jax.random.PRNGKey(0)

@@ -193,9 +193,9 @@ def test_zkpok_words_verifies():
 
 
 def test_zkpok_words_wire_roundtrip():
-    _, proof = _prove()
+    _, proof = _prove(v=16)
     p2 = proof_from_arrays(proof_to_arrays(proof))
-    assert verify_proof(RING, KP.pk_a, KP.pk_b, p2, v=64)
+    assert verify_proof(RING, KP.pk_a, KP.pk_b, p2, v=16)
 
 
 @pytest.mark.parametrize(
@@ -203,19 +203,19 @@ def test_zkpok_words_wire_roundtrip():
     [("z", (0, 0, 0)), ("zu", (1, 1, 0)), ("ze0", (2, 0, 0)), ("ze1", (3, 2, 0))],
 )
 def test_zkpok_words_tamper_rejected(attr, idx):
-    _, proof = _prove()
+    _, proof = _prove(v=16)
     bad = _proof_copy(proof)
     getattr(bad, attr)[idx] += 1
-    assert not verify_proof(RING, KP.pk_a, KP.pk_b, bad, v=64)
+    assert not verify_proof(RING, KP.pk_a, KP.pk_b, bad, v=16)
 
 
 def test_zkpok_words_oversize_response_rejected():
     """Responses exceeding the ZK bound must fail the magnitude check even
     if the encryption equation is forced to hold (soundness-side bound)."""
-    _, proof = _prove()
+    _, proof = _prove(v=16)
     bad = _proof_copy(proof)
     bad.z[0, 0, -1] = 1 << 62
-    assert not verify_proof(RING, KP.pk_a, KP.pk_b, bad, v=64)
+    assert not verify_proof(RING, KP.pk_a, KP.pk_b, bad, v=16)
 
 
 def test_zkpok_words_short_proof_rejected():
@@ -224,7 +224,7 @@ def test_zkpok_words_short_proof_rejected():
     by the verifier, never read from the proof."""
     from ark_mpc_tpu.offline.bgv.zkpok_words import CiphertextWithProofW
 
-    _, proof = _prove()
+    _, proof = _prove(v=16)
     short = CiphertextWithProofW(
         proof.cts,
         CiphertextL(
@@ -233,13 +233,14 @@ def test_zkpok_words_short_proof_rejected():
         ),
         proof.z[:1], proof.zu[:1], proof.ze0[:1], proof.ze1[:1],
     )
-    assert not verify_proof(RING, KP.pk_a, KP.pk_b, short, v=64)
+    assert not verify_proof(RING, KP.pk_a, KP.pk_b, short, v=16)
 
 
 def test_zkpok_words_wrong_u_rejected():
-    _, proof = _prove()
-    assert verify_proof(RING, KP.pk_a, KP.pk_b, proof, v=64, expected_u=3)
-    assert not verify_proof(RING, KP.pk_a, KP.pk_b, proof, v=64, expected_u=2)
+    _, proof = _prove(v=16)
+    assert verify_proof(RING, KP.pk_a, KP.pk_b, proof, v=16, expected_u=3)
+    assert not verify_proof(RING, KP.pk_a, KP.pk_b, proof, v=16,
+                            expected_u=2)
 
 
 def test_zkpok_words_transplanted_pk_rejected():
@@ -247,23 +248,23 @@ def test_zkpok_words_transplanted_pk_rejected():
     KP must not verify under a different keypair even though the encryption
     relation is key-homomorphic in neither direction we check here — the
     challenge itself changes (VERDICT r3 item 7)."""
-    _, proof = _prove()
+    _, proof = _prove(v=16)
     kp2 = keygen_l(RING, jax.random.PRNGKey(99))
-    assert not verify_proof(RING, kp2.pk_a, kp2.pk_b, proof, v=64)
+    assert not verify_proof(RING, kp2.pk_a, kp2.pk_b, proof, v=16)
 
 
 def test_zkpok_words_wrapping_digit_rejected():
     """Digits at/below -2^54 can wrap the biased uint64 device lift to a
     DIFFERENT ring element while the float64 value-magnitude check still
     passes.  The per-digit range check must reject them (ADVICE r3)."""
-    _, proof = _prove()
+    _, proof = _prove(v=16)
     bad = _proof_copy(proof)
     # value-preserving digit rewrite: d0 -= 2^56, d1 += 2^8 — same integer,
     # same float magnitude, but digit 0 is below -2^55 where the biased
     # uint64 lift wraps; DIGIT_BOUND (2^54) must reject it before the lift
     bad.z[0, 0, 0] -= np.int64(1) << 56
     bad.z[0, 0, 1] += np.int64(1) << 8
-    assert not verify_proof(RING, KP.pk_a, KP.pk_b, bad, v=64)
+    assert not verify_proof(RING, KP.pk_a, KP.pk_b, bad, v=16)
 
 
 def test_zkpok_words_large_u_normalized():
@@ -345,6 +346,7 @@ def test_ct_mul_relinearized():
     assert got.to_ints() == want
 
 
+@pytest.mark.slow
 def test_ct_mul_then_add_pt():
     """Relinearized products compose with further homomorphic ops."""
     from ark_mpc_tpu.offline.bgv.bgv_l import gen_relin_key_l, mul_ct_l
