@@ -146,7 +146,9 @@ def windowed_mul_pallas(canon, px, py, pz, pt, block: int = WBLOCK,
         cq = jnp.stack([_add_mod(B, y, x) for (x, y, z, t) in ext])
         cr = jnp.stack([_bmul(d2, t) for (x, y, z, t) in ext])
         cz = jnp.stack([z for (x, y, z, t) in ext])
-        ids = jnp.arange(16, dtype=jnp.uint32)[:, None, None]  # (16,1,1)
+        # broadcasted_iota, not arange+reshape: mosaic's layout inference
+        # rejects the (1,16)->(16,1,1) shape cast on current libtpu
+        ids = jax.lax.broadcasted_iota(jnp.uint32, (16, 1, w), 0)
 
         def body(i, acc):
             off = (windows - 1 - i) * 4  # 4-bit windows stay within a limb

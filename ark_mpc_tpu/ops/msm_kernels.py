@@ -1,4 +1,4 @@
-"""Bucketed Pippenger MSM on TPU (Pallas bucket-accumulation kernel).
+"""Bucketed Pippenger MSM on TPU (Pallas bucket-accumulation kernels).
 
 The round-2 TPU MSM ran n independent windowed ladders
 (`curve_kernels.windowed_mul_pallas`): ~37 base-field muls per 4 scalar
@@ -8,36 +8,48 @@ the table (VERDICT r2 item 4; reference: the chunked rayon Pippenger at
 
 Bucket accumulation is a data-dependent scatter — the one pattern TPUs
 cannot vectorize directly.  This module restructures it as dense,
-shape-static work split between XLA and one Pallas mega-kernel:
+shape-static work split between XLA and two Pallas mega-kernels:
 
   1. XLA prologue (`_rank_grid`): per c-bit window, sort the digits and
      compute each point's RANK within its bucket (its position among the
      points sharing its digit).  One scatter lays the point INDICES out on
-     a (W, max_rank, 2^c) grid — grid[w, r, d] = index of the rank-r point
-     of bucket d in window w, or a sentinel pointing at an appended
-     identity point.  One gather materializes the coordinates.
-  2. Pallas kernel (`bucket_accumulate_pallas`): grid (W, max_rank),
-     TPU-sequential.  Scratch holds the 2^c bucket accumulators as
-     (NLIMBS, 2^c) VMEM tiles (4 coords x 16 KB at c = 8).  Each step is
-     ONE complete unified Edwards add of a (NLIMBS, 2^c) point tile into
-     the buckets — identity padding needs no masking because the a = -1
-     twisted-Edwards formulas are complete.  Work: W * max_rank * 2^c
-     lane-adds ~= 1.5 * W * n (the 1.5 is rank padding at uniform
-     scalars) ~= 430 bmuls/point at c = 8 — ~5.5x under the ladder.
-  3. XLA epilogue: sum_d d * B_d per window via suffix scans (log-depth,
-     O(1) traced group-add instantiations), then Horner across windows
-     under `lax.scan` (c doubles + 1 add per window at width 1).
+     a (max_rank, W', 2^c) grid — grid[r, w, d] = index of the rank-r
+     point of bucket d in window-row w, or a sentinel pointing at an
+     appended identity point.  One gather materializes the coordinates.
+     Two depth optimizations:
+       - digit-0 points are DROPPED (the epilogue never reads bucket 0 —
+         its weight is 0), keeping max_rank bounded when scalars cluster
+         at zero;
+       - the TOP window is VIRTUALIZED over `_TOP_VIRT` extra window-rows
+         (rank r lands in virtual row r % _TOP_VIRT at depth
+         r // _TOP_VIRT): l ~ 2^252 leaves the top 8-bit window only ~4
+         effective bits, so its buckets run ~16x deeper than everyone
+         else's and would otherwise rank-pad ALL windows 16x.
+  2. `bucket_accumulate_pallas`: grid (W'/wc, max_rank), TPU-sequential.
+     Scratch holds wc windows' bucket accumulators as (NLIMBS, wc, 2^c)
+     VMEM tiles.  Each step is ONE complete unified Edwards add of a
+     (NLIMBS, wc, 2^c) point slab into the buckets — the (16, 256)
+     trailing dims fill the VPU's (8, 128) registers, and identity
+     padding needs no masking because the a = -1 twisted-Edwards formulas
+     are complete.  Work: ~1.3 * W * n bucket adds at uniform scalars
+     (~430 bmuls/point at c = 8; the windowed ladder pays ~2370).
+  3. `bucket_reduce_pallas` (the epilogue, also ONE kernel): fold the
+     virtual top rows back into window W-1, then per window compute
+     sum_d d * B_d via a lane-axis Hillis-Steele suffix scan (8 slab
+     adds) + a lane tree-reduction (8 more), then Horner across windows
+     (c doubles + 1 select-add per window) — all VMEM-resident.  The
+     round-3 XLA epilogue ran these as ~500 dispatch-granularity group
+     ops and dominated the whole MSM (469 ms of 542 ms at n = 2^12).
 
-`max_rank` is data-dependent (bucket 0 of a window can hold up to n
-points when scalars cluster), so shapes can't be static under one jit:
+`max_rank` is data-dependent, so shapes can't be static under one jit:
 the host reads back the max rank from a small jitted prologue and calls
-the shape-specialized stage-2 jit with it, ROUNDED UP to a coarse
-granularity so uniform scalars reuse one cached compile.  Clustered
-scalars recompile for a larger grid — always correct, slower only then.
+the shape-specialized stage-2 jit with it, ROUNDED UP to `_RANK_GRAN` so
+uniform scalars reuse one cached compile.  Clustered scalars recompile
+for a deeper grid — always correct, slower only then.
 
 For n > _SEGMENT points the input is split into segments and the partial
 MSMs summed (MSM is additive over point subsets), bounding the gathered
-intermediate at ~900 MB of HBM.
+intermediate's HBM footprint.
 """
 
 from __future__ import annotations
@@ -49,16 +61,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..algebra.fields import BASE_FIELD
+from ..algebra.fields import BASE_FIELD, SCALAR_FIELD
 from ..algebra.limbs import NLIMBS
-from .curve_kernels import _ED_2D_LIMBS, _padd
+from .curve_kernels import _ED_2D_LIMBS, _double, _double_no_t, _padd
 from .fp_kernels import _interpret
 
 C_BITS = 8                      # window size: 32 windows, 256 buckets
 N_BUCKETS = 1 << C_BITS
 N_WINDOWS = 256 // C_BITS
+# The scalar field l ~ 2^252: the top window's digits only span
+# [0, l >> 248] = [0, 16], so its buckets run ~2^c / 16 = 16x deeper than
+# uniform.  Spread it over 16 virtual window-rows (folded back in the
+# epilogue); +1 dead pad row keeps W_PAD a multiple of the slab width 16.
+_TOP_VIRT = 16
+W_PAD = N_WINDOWS + _TOP_VIRT   # 31 real + 16 virtual + 1 dead pad = 48
 _SEGMENT = 1 << 16              # points per kernel call (HBM cap)
-_RANK_GRAN = 64                 # max_rank rounds up to this (compile reuse)
+_RANK_GRAN = 32                 # max_rank rounds up to this (compile reuse)
 
 
 def _rank_grid_host(digits):
@@ -82,57 +100,87 @@ def _rank_grid_jit(digits):
     # rank back in ORIGINAL point order
     rank = jnp.zeros_like(rank_sorted)
     rank = jax.vmap(lambda r, o, v: r.at[o].set(v))(rank, order, rank_sorted)
-    # global max rank: the deepest bucket can be ANY bucket, not the last
-    # sorted one (an interior bucket larger than the final digit's run)
-    return rank, rank_sorted.max() + 1
+    # digit-0 points contribute 0 * B_0 — the epilogue drops bucket 0 —
+    # so exclude them: push their rank out of range (the grid scatter
+    # drops them) and ignore them in the max
+    rank = jnp.where(digits == 0, jnp.int32(2**30), rank)
+    nz_rank = jnp.where(sd == 0, jnp.int32(-1), rank_sorted)
+    return rank, nz_rank.max() + 1
+
+
+def _virtual_rows(rank):
+    """(row, vrank) for the scatter: window w < W-1 keeps (w, rank); the
+    top window spreads rank r over virtual row (W-1) + r % _TOP_VIRT at
+    depth r // _TOP_VIRT.  Digit-0 sentinel ranks stay out of range."""
+    w_ix = jnp.broadcast_to(
+        jnp.arange(N_WINDOWS, dtype=jnp.int32)[:, None], rank.shape)
+    is_top = w_ix == N_WINDOWS - 1
+    row = jnp.where(is_top, N_WINDOWS - 1 + rank % _TOP_VIRT, w_ix)
+    vrank = jnp.where(is_top, rank // _TOP_VIRT, rank)
+    return row, vrank
+
+
+@jax.jit
+def _max_rank_of(scalars):
+    from ..algebra.curve import _scalar_digits
+
+    digits = _scalar_digits(scalars, C_BITS)
+    rank, _ = _rank_grid_jit(digits)
+    _, vrank = _virtual_rows(rank)
+    return jnp.where(digits == 0, jnp.int32(-1), vrank).max() + 1
 
 
 def bucket_accumulate_pallas(px, py, pz, pt):
-    """coords (W, R, NLIMBS, n_buckets) -> bucket sums
-    (W, NLIMBS, n_buckets) per coordinate.  TPU-sequential grid (W, R);
-    bucket scratch persists across the R axis and resets at r == 0.
-    The bucket count is read from the input shape (production: N_BUCKETS;
-    tests run tiny grids under the interpreter)."""
-    W, R, nb = px.shape[0], px.shape[1], px.shape[-1]
+    """coords (NLIMBS, R, W, n_buckets) -> bucket sums
+    (NLIMBS, W, n_buckets) per coordinate.  TPU-sequential grid
+    (W // wc, R); the scratch holds wc windows' buckets, so each step is
+    ONE complete Edwards add of a (NLIMBS, wc, nb) point slab — trailing
+    dims (16, 256) fill whole (8, 128) VPU registers (a per-window
+    (1, nb) layout wastes 7/8 sublanes and pays 32x the grid-step
+    overhead; wc = 32 blows the ~16 MB scoped-VMEM budget).
+    Window/bucket counts are read from the input shape (production:
+    W_PAD x N_BUCKETS; tests run tiny grids under the interpreter)."""
+    R, W, nb = px.shape[1], px.shape[2], px.shape[3]
     B = BASE_FIELD
+    wc = W if W % 16 else 16
 
     def kernel(x_r, y_r, z_r, t_r, ox, oy, oz, ot, bx, by, bz, bt):
         r = pl.program_id(1)
 
         @pl.when(r == 0)
         def _init():
-            bx[...] = jnp.zeros((NLIMBS, nb), jnp.uint32)
+            bx[...] = jnp.zeros((NLIMBS, wc, nb), jnp.uint32)
             by[...] = jnp.concatenate(
-                [jnp.ones((1, nb), jnp.uint32),
-                 jnp.zeros((NLIMBS - 1, nb), jnp.uint32)], 0)
+                [jnp.ones((1, wc, nb), jnp.uint32),
+                 jnp.zeros((NLIMBS - 1, wc, nb), jnp.uint32)], 0)
             bz[...] = by[...]
-            bt[...] = jnp.zeros((NLIMBS, nb), jnp.uint32)
+            bt[...] = jnp.zeros((NLIMBS, wc, nb), jnp.uint32)
 
         d2 = jnp.concatenate(
-            [jnp.full((1, nb), v, jnp.uint32) for v in _ED_2D_LIMBS],
+            [jnp.full((1, wc, nb), v, jnp.uint32) for v in _ED_2D_LIMBS],
             0)
         x, y, z, t = _padd(
             B, bx[...], by[...], bz[...], bt[...],
-            x_r[0, 0], y_r[0, 0], z_r[0, 0], t_r[0, 0], d2)
+            x_r[:, 0], y_r[:, 0], z_r[:, 0], t_r[:, 0], d2)
         bx[...], by[...], bz[...], bt[...] = x, y, z, t
 
         @pl.when(r == R - 1)
         def _flush():
-            ox[0] = bx[...]
-            oy[0] = by[...]
-            oz[0] = bz[...]
-            ot[0] = bt[...]
+            ox[...] = bx[...]
+            oy[...] = by[...]
+            oz[...] = bz[...]
+            ot[...] = bt[...]
 
-    tile_in = pl.BlockSpec((1, 1, NLIMBS, nb),
-                           lambda w, r: (w, r, 0, 0),
+    tile_in = pl.BlockSpec((NLIMBS, 1, wc, nb),
+                           lambda w, r: (0, r, w, 0),
                            memory_space=pltpu.VMEM)
-    tile_out = pl.BlockSpec((1, NLIMBS, nb), lambda w, r: (w, 0, 0),
+    tile_out = pl.BlockSpec((NLIMBS, wc, nb), lambda w, r: (0, w, 0),
                             memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((W, NLIMBS, nb), jnp.uint32)
-    scratch = [pltpu.VMEM((NLIMBS, nb), jnp.uint32)] * 4
+    out = jax.ShapeDtypeStruct((NLIMBS, W, nb), jnp.uint32)
+    scratch = [pltpu.VMEM((NLIMBS, wc, nb), jnp.uint32)] * 4
     return pl.pallas_call(
         kernel,
-        grid=(W, R),
+        grid=(W // wc, R),
         in_specs=[tile_in] * 4,
         out_specs=(tile_out,) * 4,
         out_shape=(out,) * 4,
@@ -141,57 +189,195 @@ def bucket_accumulate_pallas(px, py, pz, pt):
     )(px, py, pz, pt)
 
 
+def _id_coords(shape):
+    """Identity-point coordinate arrays (x, y, z, t) of a given
+    (NLIMBS, ...) shape: x = t = 0, y = z = 1 (limb 0)."""
+    zero = jnp.zeros(shape, jnp.uint32)
+    one = jnp.concatenate(
+        [jnp.ones((1,) + shape[1:], jnp.uint32),
+         jnp.zeros((shape[0] - 1,) + shape[1:], jnp.uint32)], 0)
+    return zero, one, one, zero
+
+
+def _d2_const(shape):
+    return jnp.concatenate(
+        [jnp.full((1,) + shape[1:], v, jnp.uint32) for v in _ED_2D_LIMBS], 0)
+
+
+def bucket_reduce_pallas(bx, by, bz, bt, w_real: int, c_bits: int):
+    """Epilogue mega-kernel: bucket sums (NLIMBS, W', nb) -> ONE point
+    (NLIMBS, 8, 128) with the result broadcast over rows, lane 0 valid.
+
+    In one kernel invocation (everything VMEM-resident):
+      1. fold the W' - w_real virtual top rows back into row w_real - 1
+         (log2 tree of sublane-slab adds; the pad row is identity);
+      2. drop bucket 0, then suffix-scan the lane axis (Hillis-Steele,
+         shifting in identities) so lane d = sum_{e >= d} B_e;
+      3. re-drop lane 0 and tree-reduce lanes: lane 0 = sum_{d>=1} d*B_d
+         (each step pads back to full width with identities so every lane
+         stays a valid point — no masking needed anywhere, the formulas
+         are complete);
+      4. Horner across the w_real windows: acc = 2^c * acc + S_w via a
+         fori_loop with a one-hot sublane select (exactly one row hits,
+         so an int32 sum over rows is an exact coordinate select).
+    The round-3 XLA version of these steps cost ~470 ms of
+    dispatch-granularity group ops; here they are ~20 slab adds + a
+    31-step width-128 loop."""
+    B = BASE_FIELD
+    W, nb = bx.shape[1], bx.shape[2]
+    virt = W - w_real  # includes the dead pad row (stays identity)
+
+    def kernel(x_r, y_r, z_r, t_r, ox, oy, oz, ot):
+        X, Y, Z, T = x_r[...], y_r[...], z_r[...], t_r[...]
+        d2_full = _d2_const((NLIMBS, W, nb))
+
+        # 1. fold virtual rows [w_real-1 .. W-1] (virt+1 of them, padded
+        # to the next pow2 with identity rows) back into row w_real-1
+        if virt:
+            base = w_real - 1
+            span = virt + 1
+            p2 = 1 << (span - 1).bit_length()
+            if p2 > span:
+                idx_, idy, idz, idt = _id_coords((NLIMBS, p2 - span, nb))
+                X = jnp.concatenate([X, idx_], 1)
+                Y = jnp.concatenate([Y, idy], 1)
+                Z = jnp.concatenate([Z, idz], 1)
+                T = jnp.concatenate([T, idt], 1)
+            k = p2 // 2
+            while k >= 1:
+                a = slice(base, base + k)
+                b = slice(base + k, base + 2 * k)
+                d2k = _d2_const((NLIMBS, k, nb))
+                fx, fy, fz, ft = _padd(B, X[:, a], Y[:, a], Z[:, a],
+                                       T[:, a], X[:, b], Y[:, b], Z[:, b],
+                                       T[:, b], d2k)
+                X = jnp.concatenate([X[:, :base], fx], 1)
+                Y = jnp.concatenate([Y[:, :base], fy], 1)
+                Z = jnp.concatenate([Z[:, :base], fz], 1)
+                T = jnp.concatenate([T[:, :base], ft], 1)
+                k //= 2
+        X, Y, Z, T = X[:, :w_real], Y[:, :w_real], Z[:, :w_real], \
+            T[:, :w_real]
+        d2 = _d2_const((NLIMBS, w_real, nb))
+
+        # 2. drop bucket 0 (weight 0), then lane suffix-scan
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_real, nb), 2)
+        idx_, idy, idz, idt = _id_coords((NLIMBS, w_real, nb))
+
+        def drop_lane0(X, Y, Z, T):
+            m = lane == 0
+            return (jnp.where(m, idx_, X), jnp.where(m, idy, Y),
+                    jnp.where(m, idz, Z), jnp.where(m, idt, T))
+
+        X, Y, Z, T = drop_lane0(X, Y, Z, T)
+        k = 1
+        while k < nb:
+            ix, iy, iz, it = _id_coords((NLIMBS, w_real, k))
+            sx = jnp.concatenate([X[..., k:], ix], -1)
+            sy = jnp.concatenate([Y[..., k:], iy], -1)
+            sz = jnp.concatenate([Z[..., k:], iz], -1)
+            st = jnp.concatenate([T[..., k:], it], -1)
+            X, Y, Z, T = _padd(B, X, Y, Z, T, sx, sy, sz, st, d2)
+            k *= 2
+
+        # 3. sum_{k>=1} suffix_k: drop lane 0, tree-reduce (pad back to
+        # full width with identities so shapes stay fixed)
+        X, Y, Z, T = drop_lane0(X, Y, Z, T)
+        k = nb // 2
+        while k >= 1:
+            ix, iy, iz, it = _id_coords((NLIMBS, w_real, nb - k))
+            # lanes [0:k] += lanes [k:2k]; stale lanes >= k never feed a
+            # later step (each step only reads [k':2k'] inside [0:k])
+            hx = jnp.concatenate([X[..., k:2 * k], ix], -1)[..., :nb]
+            hy = jnp.concatenate([Y[..., k:2 * k], iy], -1)[..., :nb]
+            hz = jnp.concatenate([Z[..., k:2 * k], iz], -1)[..., :nb]
+            ht = jnp.concatenate([T[..., k:2 * k], it], -1)[..., :nb]
+            X, Y, Z, T = _padd(B, X, Y, Z, T, hx, hy, hz, ht, d2)
+            k //= 2
+        # lane 0 of each row = S_w
+
+        # 4. Horner across windows, lane width 128 (all lanes compute the
+        # same value — elementwise ops never mix lanes)
+        lw = min(nb, 128)
+        Sx = X[..., :1]
+        Sy = Y[..., :1]
+        Sz = Z[..., :1]
+        St = T[..., :1]  # (NLIMBS, w_real, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (1, w_real, 1), 1)
+
+        def select_row(w):
+            m = row == w
+
+            def pick(A):
+                return jnp.broadcast_to(
+                    jnp.where(m, A, 0).astype(jnp.int32)
+                    .sum(axis=1, keepdims=True).astype(jnp.uint32),
+                    (NLIMBS, 1, lw))
+
+            return pick(Sx), pick(Sy), pick(Sz), pick(St)
+
+        d2h = _d2_const((NLIMBS, 1, lw))
+        acc = select_row(jnp.int32(w_real - 1))
+
+        def body(i, acc4):
+            x, y, z, t = acc4
+            for _ in range(c_bits - 1):
+                x, y, z = _double_no_t(B, x, y, z)
+            x, y, z, t = _double(B, x, y, z, t)
+            gx, gy, gz, gt = select_row(w_real - 1 - i)
+            return _padd(B, x, y, z, t, gx, gy, gz, gt, d2h)
+
+        x, y, z, t = jax.lax.fori_loop(1, w_real, body, acc)
+        ox[...] = jnp.broadcast_to(x, (NLIMBS, 8, lw))
+        oy[...] = jnp.broadcast_to(y, (NLIMBS, 8, lw))
+        oz[...] = jnp.broadcast_to(z, (NLIMBS, 8, lw))
+        ot[...] = jnp.broadcast_to(t, (NLIMBS, 8, lw))
+
+    lw = min(nb, 128)
+    out = jax.ShapeDtypeStruct((NLIMBS, 8, lw), jnp.uint32)
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[spec] * 4,
+        out_specs=(spec,) * 4,
+        out_shape=(out,) * 4,
+        interpret=_interpret(),
+    )(bx, by, bz, bt)
+
+
 @functools.partial(jax.jit, static_argnames=("max_rank",))
 def _msm_segment(points, scalars, max_rank: int):
     """One <=_SEGMENT-point MSM: scatter/gather to the rank grid, bucket
-    kernel, suffix-scan + Horner epilogue.  Returns a scalar CurvePoint."""
-    from ..algebra.curve import (
-        CurvePoint,
-        _hs_prefix_scan,
-        _group_suffix_scan,
-        _horner_windows,
-        _scalar_digits,
-    )
+    kernel, epilogue kernel.  Returns a scalar CurvePoint."""
+    from ..algebra.curve import CurvePoint, _scalar_digits
 
     n = points.shape[0]
     digits = _scalar_digits(scalars, C_BITS)            # (W, n)
     rank, _ = _rank_grid_jit(digits)
+    row, vrank = _virtual_rows(rank)
 
     # identity sentinel at index n
     ident = CurvePoint.identity((1,))
     ppad = CurvePoint.concatenate([points, ident], axis=0)
 
-    w_ix = jnp.broadcast_to(
-        jnp.arange(N_WINDOWS, dtype=jnp.int32)[:, None], digits.shape)
-    idx = jnp.full((N_WINDOWS, max_rank, N_BUCKETS), n, jnp.int32)
-    idx = idx.at[w_ix, rank, digits.astype(jnp.int32)].set(
-        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], digits.shape))
+    idx = jnp.full((max_rank, W_PAD, N_BUCKETS), n, jnp.int32)
+    # mode="drop": digit-0 points carry an out-of-range rank (see
+    # `_rank_grid_jit`) and must vanish rather than clip into the grid
+    idx = idx.at[vrank, row, digits.astype(jnp.int32)].set(
+        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], digits.shape),
+        mode="drop")
 
     flat = idx.reshape(-1)
-    gathered = [jnp.moveaxis(
-        jnp.take(c.limbs, flat, axis=1).reshape(
-            (NLIMBS, N_WINDOWS, max_rank, N_BUCKETS)), 0, 2)
+    gathered = [jnp.take(c.limbs, flat, axis=1).reshape(
+        (NLIMBS, max_rank, W_PAD, N_BUCKETS))
         for c in ppad._coords()]
 
     bx, by, bz, bt = bucket_accumulate_pallas(*gathered)
+    rx, ry, rz, rt = bucket_reduce_pallas(bx, by, bz, bt,
+                                          w_real=N_WINDOWS, c_bits=C_BITS)
     Felt = type(points.X)
-    buckets = CurvePoint(Felt(jnp.moveaxis(bx, 1, 0)),
-                         Felt(jnp.moveaxis(by, 1, 0)),
-                         Felt(jnp.moveaxis(bz, 1, 0)),
-                         Felt(jnp.moveaxis(bt, 1, 0)))  # (W, N_BUCKETS)
-
-    # sum_{d>=1} d * B_d = sum_{k>=1} suffix_k, suffix_k = sum_{d>=k} B_d
-    suffix = _group_suffix_scan(buckets[:, 1:])
-    win = _hs_prefix_scan(suffix, (N_BUCKETS - 2).bit_length())[..., -1]
-    return _horner_windows(win, C_BITS)
-
-
-@jax.jit
-def _max_rank_of(scalars):
-    from ..algebra.curve import _scalar_digits
-
-    _, mx = _rank_grid_jit(_scalar_digits(scalars, C_BITS))
-    return mx
+    return CurvePoint(Felt(rx[:, 0, 0]), Felt(ry[:, 0, 0]),
+                      Felt(rz[:, 0, 0]), Felt(rt[:, 0, 0]))
 
 
 def msm_bucket_tpu(points, scalars):
@@ -204,7 +390,7 @@ def msm_bucket_tpu(points, scalars):
     for beg in range(0, n, _SEGMENT):
         p = points[beg:beg + _SEGMENT]
         s = scalars[beg:beg + _SEGMENT]
-        mx = int(jax.device_get(_max_rank_of(s)))
+        mx = max(1, int(jax.device_get(_max_rank_of(s))))
         max_rank = -(-mx // _RANK_GRAN) * _RANK_GRAN
         partials.append(_msm_segment(p, s, max_rank))
     acc = partials[0]

@@ -124,8 +124,9 @@ print(f"{'n':>8} {'bucket_ms':>10} {'pallas_ms':>10} {'plad_ms':>10} "
 rows = []
 for logn in SIZES:
     n = 1 << logn
-    ks = Scalar.from_ints(
-        [int(rng.integers(1, 2**63)) ** 4 % L for _ in range(n)])
+    # uniform field elements (the x^4 generator used before is biased:
+    # 1/4 of values are 0 mod 256, skewing Pippenger bucket occupancy)
+    ks = Scalar.random((n,), rng)
     # distinct points: cheap pseudo-random multiples of G
     pts = CurvePoint.generator((n,)).mul(
         Scalar.from_ints([(7 * i + 3) % L for i in range(1, n + 1)]))

@@ -31,12 +31,17 @@ def test_rank_grid():
     rank, mx = _rank_grid_host(digits)
     d = np.asarray(jax.device_get(digits))
     r = np.asarray(jax.device_get(rank))
-    # within every window, ranks of equal digits are 0..count-1
+    # digit-0 points are excluded (bucket 0 is dead weight): their rank is
+    # out of range so the grid scatter drops them
+    assert (r[d == 0] >= 2**30).all()
+    # within every window, ranks of equal NONZERO digits are 0..count-1
     for w in range(d.shape[0]):
         for val in np.unique(d[w]):
+            if val == 0:
+                continue
             rs = np.sort(r[w][d[w] == val])
             assert list(rs) == list(range(len(rs)))
-    assert mx == int(r.max()) + 1
+    assert mx == int(r[d != 0].max()) + 1
 
 
 def test_bucket_msm_matches_ladder():

@@ -29,20 +29,18 @@ def test_bucket_accumulate_tiny():
         Scalar.from_ints([(5 * i + 2) for i in range(1, n + 1)]))
 
     def grid_of(c):
-        return jnp.moveaxis(c.limbs.reshape(NLIMBS, W, R, nb), 0, 2)
+        # kernel layout: (NLIMBS, R, W, nb)
+        return c.limbs.reshape(NLIMBS, R, W, nb)
 
     coords = [grid_of(c) for c in pts._coords()]
     bx, by, bz, bt = bucket_accumulate_pallas(*coords)
     Felt = type(pts.X)
-    got = CurvePoint(Felt(jnp.moveaxis(bx, 1, 0)),
-                     Felt(jnp.moveaxis(by, 1, 0)),
-                     Felt(jnp.moveaxis(bz, 1, 0)),
-                     Felt(jnp.moveaxis(bt, 1, 0)))  # (W, nb)
+    got = CurvePoint(Felt(bx), Felt(by), Felt(bz), Felt(bt))  # (W, nb)
 
-    grid = pts.reshape(W, R, nb)
-    want = grid[:, 0]
+    grid = pts.reshape(R, W, nb)
+    want = grid[0]
     for r in range(1, R):
-        want = want + grid[:, r]
+        want = want + grid[r]
     assert _eq(got, want)
 
 
@@ -55,15 +53,12 @@ def test_bucket_accumulate_identity_padding():
     ident = CurvePoint.identity((nb,))
 
     def grid_of(real_c, id_c):
-        stacked = jnp.stack([real_c, id_c], axis=1)  # (16, R, nb)
-        return stacked.reshape(NLIMBS, W, R, nb).transpose(1, 2, 0, 3)
+        # (NLIMBS, R, W, nb): rank 0 = real points, rank 1 = identities
+        return jnp.stack([real_c, id_c], axis=1).reshape(NLIMBS, R, W, nb)
 
     coords = [grid_of(rc.limbs, ic.limbs)
               for rc, ic in zip(real._coords(), ident._coords())]
     bx, by, bz, bt = bucket_accumulate_pallas(*coords)
     Felt = type(real.X)
-    got = CurvePoint(Felt(jnp.moveaxis(bx, 1, 0)),
-                     Felt(jnp.moveaxis(by, 1, 0)),
-                     Felt(jnp.moveaxis(bz, 1, 0)),
-                     Felt(jnp.moveaxis(bt, 1, 0)))[0]
+    got = CurvePoint(Felt(bx), Felt(by), Felt(bz), Felt(bt))[0]
     assert _eq(got, real)
