@@ -18,10 +18,11 @@ membership).  Formulas: standard Jacobian add-2007-bl / dbl-2009-l.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import limbs as lb
-from .limbs import FieldSpec
+from .limbs import NLIMBS, FieldSpec
 from .scalar import FieldArray, _register
 
 BN254_Q = 21888242871839275222246405745257275088696311157297823662689037894645226208583
@@ -53,7 +54,17 @@ def _dbl(x: Fq) -> Fq:
 
 class G1:
     """BN254 G1 point batch in Jacobian coordinates (X, Y, Z); the point
-    at infinity is Z == 0 (represented (1, 1, 0))."""
+    at infinity is Z == 0 (represented (1, 1, 0)).
+
+    Implements the same batch-point interface as the Ed25519 `CurvePoint`
+    (shape/reshape/concatenate/sum/mul/wire conversion), so the generic
+    point-share protocols in `fabric/points.py` run unchanged over either
+    curve — the analog of the reference's `C: CurveGroup` genericity for
+    the point half (`online-phase/src/lib.rs:75-78`,
+    `algebra/curve/authenticated_curve.rs`)."""
+
+    base_field = None   # set below (Fq)
+    scalar_field = None  # set below (Fr)
 
     def __init__(self, X: Fq, Y: Fq, Z: Fq):
         self.X, self.Y, self.Z = X, Y, Z
@@ -74,10 +85,59 @@ class G1:
     def shape(self):
         return self.X.shape
 
+    @property
+    def size(self):
+        return self.X.size
+
+    def _coords(self):
+        return (self.X, self.Y, self.Z)
+
+    def _eager(self, other=None) -> bool:
+        t = jax.core.Tracer
+        return not (isinstance(self.X.limbs, t) or
+                    (other is not None and isinstance(other.X.limbs, t)))
+
+    def __getitem__(self, idx):
+        return G1(*(c[idx] for c in self._coords()))
+
+    def reshape(self, *shape):
+        return G1(*(c.reshape(*shape) for c in self._coords()))
+
+    @classmethod
+    def concatenate(cls, items, axis=0):
+        return cls(*(Fq.concatenate([it._coords()[i] for it in items], axis)
+                     for i in range(3)))
+
+    def _slice(self, axis, start, stop):
+        idx = (slice(None),) * axis + (slice(start, stop),)
+        return self[idx]
+
+    def _squeeze(self, axis):
+        return G1(*(type(c)(jnp.squeeze(c.limbs, axis + 1))
+                    for c in self._coords()))
+
+    def sum(self, axis=0) -> "G1":
+        """Tree-reduction point sum along a batch axis."""
+        pt = self
+        n = pt.shape[axis]
+        while n > 1:
+            half = n // 2
+            s = pt._slice(axis, 0, half) + pt._slice(axis, half, 2 * half)
+            if n % 2:
+                s = G1.concatenate([s, pt._slice(axis, 2 * half, n)], axis)
+            pt = s
+            n = pt.shape[axis]
+        return pt._squeeze(axis)
+
     def is_identity(self):
         return self.Z.is_zero()
 
     def double(self) -> "G1":
+        if self._eager():
+            return _g1_group_double(self)
+        return self._double_raw()
+
+    def _double_raw(self) -> "G1":
         """dbl-2009-l (a = 0)."""
         X1, Y1, Z1 = self.X, self.Y, self.Z
         A = X1.square()
@@ -92,6 +152,18 @@ class G1:
         return G1(X3, Y3, Z3)
 
     def __add__(self, other: "G1") -> "G1":
+        """Complete addition: one jitted dispatch when eager, inlined
+        under an enclosing trace (same policy as `CurvePoint.__add__`)."""
+        if self._eager(other):
+            return _g1_group_add(self, other)
+        return self._add_raw(other)
+
+    def __sub__(self, other: "G1") -> "G1":
+        if self._eager(other):
+            return _g1_group_sub(self, other)
+        return self._add_raw(-other)
+
+    def _add_raw(self, other: "G1") -> "G1":
         """add-2007-bl with identity/doubling handled by select (the
         branch-free form vectorized batches need)."""
         X1, Y1, Z1 = self.X, self.Y, self.Z
@@ -138,19 +210,13 @@ class G1:
         return G1(self.X, -self.Y, self.Z)
 
     def mul(self, scalar: Fr) -> "G1":
-        """Double-and-select ladder over the canonical scalar bits."""
-        canon = lb.from_mont(BN254_SCALAR, scalar.limbs)
-        shape = jnp.broadcast_shapes(self.shape, scalar.shape)
-        pt = self.broadcast_to(shape)
-        bits = BN254_R.bit_length()
-        acc = G1.identity(shape)
-        for i in reversed(range(bits)):
-            acc = acc.double()
-            limb = canon[i >> 4]
-            bit = ((limb >> jnp.uint32(i & 15)) & 1) == 1
-            added = acc + pt
-            acc = added.select(jnp.broadcast_to(bit, shape), acc)
-        return acc
+        """Double-and-select ladder over the canonical scalar bits — ONE
+        jitted `fori_loop` program (an unrolled 254-step eager loop costs
+        ~20k dispatches per call; the loop form compiles one body)."""
+        return _g1_scalar_mul(self, scalar)
+
+    __mul__ = mul
+    __rmul__ = mul
 
     def broadcast_to(self, shape) -> "G1":
         return G1(self.X.broadcast_to(shape), self.Y.broadcast_to(shape),
@@ -160,6 +226,14 @@ class G1:
         zinv = self.Z.inverse()
         zi2 = zinv.square()
         return self.X * zi2, self.Y * zi2 * zinv
+
+    def normalize(self) -> "G1":
+        x, y = self.to_affine()
+        pt = G1.from_affine(x, y)
+        return pt.select(~self.is_identity(), G1.identity(pt.shape))
+
+    def __repr__(self):
+        return f"G1(shape={self.shape})"
 
     def equals(self, other: "G1"):
         """Jacobian equality: X1 Z2^2 == X2 Z1^2, Y1 Z2^3 == Y2 Z1^3."""
@@ -177,3 +251,71 @@ class G1:
         b3 = Fq.from_ints(3).broadcast_to(self.shape)
         rhs = self.X.square() * self.X + b3 * z6
         return self.Y.square().equals(rhs) | self.is_identity()
+
+    def is_in_prime_subgroup(self):
+        """BN254 G1 has cofactor 1: every F_q-rational point is in the
+        prime-order group, so subgroup membership follows from curve
+        membership alone (checked separately by the wire-ingestion
+        validator).  Returns all-true of the batch shape."""
+        return jnp.ones(self.shape, bool)
+
+    @classmethod
+    def from_affine(cls, x: Fq, y: Fq) -> "G1":
+        return cls(x, y, Fq.ones(x.shape))
+
+    @classmethod
+    def from_wire_affine(cls, xc, yc) -> "G1":
+        """Rebuild points from canonical affine limb arrays off the wire.
+        The identity travels as (0, 0) — NOT a curve point (0 != 3 over
+        F_q), so the encoding is unambiguous (arkworks uses an infinity
+        flag bit; a coordinate sentinel keeps the wire format identical to
+        the Ed25519 one: x || y limb arrays)."""
+        x = Fq(lb.to_mont(BN254_BASE, xc))
+        y = Fq(lb.to_mont(BN254_BASE, yc))
+        is_id = x.is_zero() & y.is_zero()
+        pt = cls.from_affine(x, y)
+        return pt.select(~is_id, cls.identity(pt.shape))
+
+
+G1.base_field = Fq
+G1.scalar_field = Fr
+# field -> curve link used by the generic point protocols
+# (`fabric/points.py`): a fabric over Fr shares speaks G1 points.
+Fr.curve = G1
+
+jax.tree_util.register_pytree_node(
+    G1,
+    lambda p: ((p.X, p.Y, p.Z), None),
+    lambda aux, ch: G1(*ch),
+)
+
+# single-dispatch eager group ops (policy of `curve.py:_group_add`)
+_g1_group_add = jax.jit(G1._add_raw)
+_g1_group_double = jax.jit(G1._double_raw)
+_g1_group_sub = jax.jit(lambda p, q: p._add_raw(-q))
+
+
+@jax.jit
+def _g1_scalar_mul(point: G1, scalar: Fr) -> G1:
+    """MSB-first double-and-select ladder under `lax.fori_loop` (256
+    iterations; canonical Fr scalars are < 2^254, the top bits are zero).
+    One compiled body — the graph is O(1) in the bit count, which keeps
+    XLA:CPU compile time flat (`curve.py:_scalar_mul` policy)."""
+    shape = jnp.broadcast_shapes(point.shape, scalar.shape)
+    pt = point.broadcast_to(shape)
+    canon = lb.from_mont(BN254_SCALAR, scalar.limbs)
+    canon = jnp.broadcast_to(
+        canon.reshape(canon.shape[:1] + (1,) * (len(shape) - len(scalar.shape))
+                      + canon.shape[1:]),
+        (NLIMBS,) + shape)
+
+    def body(j, acc: G1) -> G1:
+        bit_index = 255 - j
+        limb = jax.lax.dynamic_index_in_dim(
+            canon, bit_index >> 4, axis=0, keepdims=False)
+        bit = (limb >> (bit_index.astype(jnp.uint32) & 15)) & 1
+        acc = acc.double()
+        added = acc + pt
+        return added.select(bit == 1, acc)
+
+    return jax.lax.fori_loop(0, 256, body, G1.identity(shape))

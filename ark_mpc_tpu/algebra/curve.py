@@ -101,6 +101,14 @@ class CurvePoint:
     def from_affine_ints(cls, x: int, y: int):
         return cls.from_affine(BaseFelt.from_ints(x), BaseFelt.from_ints(y))
 
+    @classmethod
+    def from_wire_affine(cls, xc, yc):
+        """Rebuild points from canonical affine limb arrays off the wire
+        (the Ed25519 identity is the valid affine point (0, 1) — no
+        sentinel needed, unlike short-Weierstrass curves)."""
+        return cls.from_affine(BaseFelt(lb.to_mont(BASE_FIELD, xc)),
+                               BaseFelt(lb.to_mont(BASE_FIELD, yc)))
+
     @property
     def shape(self):
         return self.X.shape
@@ -211,9 +219,14 @@ class CurvePoint:
     # Pippenger (see `_msm_pippenger`).  Crossover measured in
     # `benchmarks/msm.py` (see BASELINE.md "MSM" table).
     MSM_PIPPENGER_CUTOFF = 128
-    # TPU: ladder kernel below, bucketed Pippenger kernel above
-    # (`ops/msm_kernels.py`; crossover from benchmarks/msm.py)
-    MSM_BUCKET_CUTOFF = 2048
+    # TPU: the windowed-ladder Pallas mega-kernel at EVERY size.  Measured
+    # 2026-08-20 on the v5e chip (benchmarks/msm.py, BASELINE.md round-5
+    # MSM table): the bucketed-Pippenger pipeline loses to the ladder at
+    # every n tried (100.6 ms vs 8.4 ms at n=2^12) — its rank-grid
+    # gather traffic and sequential bucket-slab grid swamp the ~5.5x
+    # field-mul saving.  The bucket path stays available behind
+    # ARK_MSM_FORCE=bucket for the harness; no measured n has it winning,
+    # so nothing dispatches to it by default.
 
     @staticmethod
     def msm(scalars: Scalar, points: "CurvePoint") -> "CurvePoint":
@@ -227,22 +240,19 @@ class CurvePoint:
         sort+segmented-scan MSM of the cuZK/sppark GPU lineage), which cuts
         group-op WORK from ~506·n ladder steps to ~2·n·W scan adds.
 
-        TPU: below `MSM_BUCKET_CUTOFF` the Pallas ladder mega-kernel +
-        tree sum (one launch, ~20 s compile); above it the bucketed
-        Pippenger pipeline (`ops/msm_kernels.py`): XLA rank-grid
-        sort/gather + a Pallas bucket-accumulation kernel + suffix-scan/
-        Horner epilogue — ~5.5x fewer base-field muls per point than the
-        ladder (BASELINE.md 'MSM' table).  Set ARK_MSM_FORCE=ladder|bucket
-        to pin a path (benchmark harness)."""
+        TPU: the windowed Pallas ladder mega-kernel + tree sum (one
+        launch) at every size — measured fastest at every n tried, and
+        faster than the 4-core native CPU Pippenger anchor (BASELINE.md
+        round-5 MSM table).  The bucketed Pippenger pipeline
+        (`ops/msm_kernels.py`) pays ~5.5x fewer base-field muls per point
+        but loses end-to-end to its rank-grid gather + sequential bucket
+        grid; it is reachable via ARK_MSM_FORCE=bucket (benchmark
+        harness), never by default dispatch."""
         import os
 
         n = int(np.prod(scalars.shape)) if scalars.shape else 1
         if jax.default_backend() == "tpu":
-            force = os.environ.get("ARK_MSM_FORCE", "")
-            use_bucket = (force == "bucket"
-                          or (n >= CurvePoint.MSM_BUCKET_CUTOFF
-                              and force != "ladder"))
-            if use_bucket:
+            if os.environ.get("ARK_MSM_FORCE", "") == "bucket":
                 from ..ops.msm_kernels import msm_bucket_tpu
 
                 return msm_bucket_tpu(points.reshape(n).broadcast_to((n,)),
@@ -672,3 +682,8 @@ def _elligator2(r: int):
     x = c * u % P * pow(v, -1, P) % P
     y = (u - 1) * pow(u + 1, -1, P) % P
     return (x, y)
+
+
+# field -> curve link used by the generic point protocols
+# (`fabric/points.py`): a fabric over Curve25519 Scalars speaks Ed25519.
+Scalar.curve = CurvePoint

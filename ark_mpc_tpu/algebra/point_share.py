@@ -4,6 +4,12 @@ Analog of `online-phase/src/algebra/curve/share.rs:25-116`: a point share is
 an additive share of a point plus a MAC point (mac_key * P shared
 additively).  Linear ops mirror the scalar case; `add_public` keeps the
 party-0 asymmetry (`curve/share.rs:57-60`).
+
+Curve-generic: the contained point batch (Ed25519 `CurvePoint` by default,
+`bn254.G1`, ...) carries the group law, mirroring the reference's
+`C: CurveGroup` genericity (`online-phase/src/lib.rs:75-78`).  Both curve
+classes expose the same batch interface (`_add_raw`, `_eager`, `mul`,
+`sum`, ...), so every method here is curve-agnostic.
 """
 
 from __future__ import annotations
@@ -75,8 +81,12 @@ class PointShare:
         )
 
     @classmethod
-    def identity(cls, shape=()):
-        return cls(CurvePoint.identity(shape), CurvePoint.identity(shape))
+    def identity(cls, shape=(), curve=CurvePoint):
+        return cls(curve.identity(shape), curve.identity(shape))
+
+    @property
+    def curve(self):
+        return type(self.share)
 
     def __repr__(self):
         return f"PointShare(shape={self.shape})"

@@ -5,9 +5,17 @@ point halves of `fabric.rs` (share_point `fabric.rs:603-650`): opening with
 point MAC checks, Beaver scalar-x-point multiplication via the generator
 trick, generator multiplication, and authenticated MSM.  Batch-first: one
 open round moves the whole point batch as affine coordinate arrays.
+
+Curve-generic (the reference's `C: CurveGroup`, `lib.rs:75-78`): every
+protocol derives the curve class from its operands or from the fabric's
+share field (`Scalar -> CurvePoint`, `bn254.Fr -> bn254.G1`).  The jitted
+kernels are shared — jax caches per pytree node type, so one `@jax.jit`
+serves both curves.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -15,9 +23,8 @@ import numpy as np
 
 from ..algebra import limbs as lb
 from ..algebra.curve import CurvePoint
-from ..algebra.fields import BASE_FIELD
 from ..algebra.point_share import PointShare, scalar_share_mul_point
-from ..algebra.scalar import BaseFelt, Scalar
+from ..algebra.scalar import Scalar
 from ..algebra.share import ScalarShare
 from . import commitment
 from .context import MpcFabric, _combine_open
@@ -29,16 +36,14 @@ from .errors import AuthenticationError
 
 
 @jax.jit
-def _point_to_wire(pt: CurvePoint):
+def _point_to_wire(pt):
     x, y = pt.to_affine()
-    return (lb.from_mont(BASE_FIELD, x.limbs), lb.from_mont(BASE_FIELD, y.limbs))
+    return (lb.from_mont(x.spec, x.limbs), lb.from_mont(y.spec, y.limbs))
 
 
-@jax.jit
-def _point_from_wire(xc, yc) -> CurvePoint:
-    x = BaseFelt(lb.to_mont(BASE_FIELD, xc))
-    y = BaseFelt(lb.to_mont(BASE_FIELD, yc))
-    return CurvePoint.from_affine(x, y)
+@functools.partial(jax.jit, static_argnums=0)
+def _point_from_wire(curve, xc, yc):
+    return curve.from_wire_affine(xc, yc)
 
 
 def _wire_arrays(pt: CurvePoint):
@@ -47,7 +52,7 @@ def _wire_arrays(pt: CurvePoint):
 
 
 @jax.jit
-def _points_valid(pt: CurvePoint):
+def _points_valid(pt):
     """Full received-point validation: on-curve AND prime-order subgroup
     (what arkworks deserialization enforces in the reference).  Without the
     subgroup check a malicious peer can inject small-order components and
@@ -56,10 +61,10 @@ def _points_valid(pt: CurvePoint):
     return pt.is_on_curve() & pt.is_in_prime_subgroup()
 
 
-def _point_from_wire_checked(xc, yc) -> CurvePoint:
+def _point_from_wire_checked(curve, xc, yc):
     """Build a point batch from received affine coordinates, rejecting any
     invalid or out-of-subgroup point (malicious abort)."""
-    pt = _point_from_wire(jnp.asarray(xc), jnp.asarray(yc))
+    pt = _point_from_wire(curve, jnp.asarray(xc), jnp.asarray(yc))
     ok = np.asarray(jax.device_get(_points_valid(pt)))
     if not ok.all():
         raise AuthenticationError(
@@ -67,7 +72,7 @@ def _point_from_wire_checked(xc, yc) -> CurvePoint:
     return pt
 
 
-def point_bytes_be(pt: CurvePoint) -> bytes:
+def point_bytes_be(pt) -> bytes:
     """Canonical affine (x || y) big-endian bytes per point, vectorized —
     the `ToBytes` role for commitment hashing (`authenticated_curve.rs`
     point commitments hash point bytes)."""
@@ -106,11 +111,18 @@ def _point_sum_is_identity(mine: CurvePoint, theirs: CurvePoint):
 # ---------------------------------------------------------------------------
 
 
-def share_points(fabric: MpcFabric, points: CurvePoint | None, sender: int,
+def _fabric_curve(fabric: MpcFabric):
+    """Curve class for a fabric: the share field's linked curve
+    (`Scalar.curve = CurvePoint`, `Fr.curve = G1`)."""
+    return getattr(fabric.field, "curve", CurvePoint)
+
+
+def share_points(fabric: MpcFabric, points=None, sender: int = 0,
                  n: int | None = None) -> PointShare:
     """Input-share points via scalar masks and the generator trick
     (`fabric.rs:603-650`): sender sends P - mask*G; [P] = [mask]*G + masked."""
-    gen = CurvePoint.generator
+    curve = type(points) if points is not None else _fabric_curve(fabric)
+    gen = curve.generator
     if fabric.party_id == sender:
         assert points is not None
         n = points.size
@@ -123,16 +135,16 @@ def share_points(fabric: MpcFabric, points: CurvePoint | None, sender: int,
         assert n is not None
         mask_share = fabric.offline.next_counterparty_input_mask_batch(n)
         xc, yc = fabric.recv_arrays()
-        masked = _point_from_wire_checked(xc, yc)
+        masked = _point_from_wire_checked(curve, xc, yc)
         shape = (n,)
     mask_points = scalar_share_mul_point(mask_share, gen((n,)))
     out = mask_points.add_public(masked, fabric.mac_key, fabric.party_id)
     return out.reshape(*shape)
 
 
-def share_public_points(fabric: MpcFabric, points: CurvePoint) -> PointShare:
+def share_public_points(fabric: MpcFabric, points) -> PointShare:
     """Both parties know the points; make a valid authenticated sharing."""
-    return PointShare.identity(points.shape).add_public(
+    return PointShare.identity(points.shape, curve=type(points)).add_public(
         points, fabric.mac_key, fabric.party_id
     )
 
@@ -142,7 +154,7 @@ def open_points(fabric: MpcFabric, ps: PointShare) -> CurvePoint:
     one exchange of affine share coordinates + one point-add kernel."""
     xa, ya = _wire_arrays(ps.share)
     theirs = fabric._exchange_arrays([xa, ya])
-    their_pt = _point_from_wire_checked(theirs[0], theirs[1])
+    their_pt = _point_from_wire_checked(ps.curve, theirs[0], theirs[1])
     return _combine_point_open(ps.share, their_pt)
 
 
@@ -160,8 +172,8 @@ def open_authenticated_points(fabric: MpcFabric, ps: PointShare,
     return opened
 
 
-def run_point_mac_check(fabric: MpcFabric, d: CurvePoint) -> None:
-    blinder = Scalar.random((), fabric.rng)
+def run_point_mac_check(fabric: MpcFabric, d) -> None:
+    blinder = fabric.field.random((), fabric.rng)
     d_bytes = point_bytes_be(d)
     my_comm = commitment.commit_bytes(d_bytes, blinder)
 
@@ -170,7 +182,7 @@ def run_point_mac_check(fabric: MpcFabric, d: CurvePoint) -> None:
     theirs = fabric._exchange_arrays([xa, ya])
     peer_blinder = fabric.exchange_scalars(blinder)
 
-    peer_d = _point_from_wire_checked(theirs[0], theirs[1])
+    peer_d = _point_from_wire_checked(type(d), theirs[0], theirs[1])
     if not commitment.verify_bytes(point_bytes_be(peer_d), peer_blinder, peer_comm):
         raise AuthenticationError("point MAC check commitment failed")
     ok = np.asarray(jax.device_get(_point_sum_is_identity(d, peer_d)))
@@ -182,14 +194,14 @@ def verify_deferred_points(fabric: MpcFabric) -> None:
     if not getattr(fabric, "_deferred_points", None):
         return
     ds = fabric._deferred_points
-    d = ds[0] if len(ds) == 1 else CurvePoint.concatenate(ds)
+    d = ds[0] if len(ds) == 1 else type(ds[0]).concatenate(ds)
     fabric._deferred_points = []
     run_point_mac_check(fabric, d)
 
 
 def mul_generator(fabric: MpcFabric, x: ScalarShare) -> PointShare:
     """[x] * G, local (`authenticated_curve.rs:754` batch_mul_generator)."""
-    return scalar_share_mul_point(x, CurvePoint.generator(x.shape))
+    return scalar_share_mul_point(x, _fabric_curve(fabric).generator(x.shape))
 
 
 def mul_public_point(x: ScalarShare, points: CurvePoint) -> PointShare:
@@ -214,25 +226,22 @@ def beaver_mul_points(fabric: MpcFabric, x: ScalarShare,
     ms = np.asarray(jax.device_get(masked_scalar.limbs))
     xa, ya = _wire_arrays(masked_point)
     theirs = fabric._exchange_arrays([ms, xa, ya])
-    d = _combine_open(masked_scalar, Scalar(jnp.asarray(theirs[0])))
+    d = _combine_open(masked_scalar, fabric.field(jnp.asarray(theirs[0])))
     e_pt = _combine_point_open(
-        masked_point, _point_from_wire_checked(theirs[1], theirs[2])
+        masked_point, _point_from_wire_checked(ps.curve, theirs[1], theirs[2])
     )
 
     return _beaver_point_combine(fabric.party_id, a, b_gen, c, d, e_pt,
                                  fabric.mac_key).reshape(*x.shape)
 
 
-import functools
-
-
 def _beaver_point_combine_body(a: ScalarShare, b_gen: PointShare,
-                               c: ScalarShare, d: Scalar, e_pt: CurvePoint,
+                               c: ScalarShare, d: Scalar, e_pt,
                                mac_key: Scalar, party_is_0: bool):
     # d*[bG] + [a]*E + [c]*G  then add_public(d*E)
     term_db = b_gen.mul_public(d)
     term_ae = scalar_share_mul_point(a, e_pt)
-    term_c = scalar_share_mul_point(c, CurvePoint.generator(c.shape))
+    term_c = scalar_share_mul_point(c, type(e_pt).generator(c.shape))
     res = term_db + term_ae + term_c
     de = e_pt.mul(d)
     share = res.share + de if party_is_0 else res.share

@@ -132,3 +132,57 @@ def test_folded_deferred_check_bn254():
 
     r0, r1 = _run(prog)
     assert r0 == r1 == [(a * b) % BN254_R for a, b in zip(xs, ys)]
+
+
+# -- point protocols at BN254 G1 (curve-generic `fabric/points.py`) --------
+# The reference runs its authenticated-point suite at ark_bn254::G1
+# (`algebra/curve/authenticated_curve.rs:653-712`); these run the same
+# protocols through the generic point layer with `Fr.curve = G1`.
+
+from ark_mpc_tpu.algebra.bn254 import G1  # noqa: E402
+
+
+def test_point_share_open_bn254():
+    """Share points held by party 0, open with MAC check, compare."""
+    secrets = [rng.randrange(1, BN254_R) for _ in range(2)]
+
+    def prog(fabric):
+        pts = G1.generator((2,)).mul(Fr.from_ints(secrets)) \
+            if fabric.party_id == 0 else None
+        ps = fabric.share_points(pts, sender=0, n=2)
+        opened = fabric.open_authenticated_points(ps)
+        x, y = opened.normalize().to_affine()
+        return x.to_ints(), y.to_ints()
+
+    r0, r1 = _run(prog)
+    assert r0 == r1
+    expect = G1.generator((2,)).mul(Fr.from_ints(secrets))
+    ex, ey = expect.normalize().to_affine()
+    assert r0 == (ex.to_ints(), ey.to_ints())
+
+
+def test_point_beaver_mul_bn254():
+    """[x * P] via the generator-trick Beaver protocol + mul_generator."""
+    xs = [rng.randrange(1, BN254_R) for _ in range(2)]
+    ss = [rng.randrange(1, BN254_R) for _ in range(2)]
+
+    def prog(fabric):
+        sx = fabric.share_values(
+            Fr.from_ints(xs) if fabric.party_id == 0 else None, sender=0,
+            n=2)
+        # [s]*G via batch_mul_generator, then [x * (sG)] via point Beaver
+        ssh = fabric.share_values(
+            Fr.from_ints(ss) if fabric.party_id == 1 else None, sender=1,
+            n=2)
+        pg = fabric.mul_generator(ssh)
+        prod = fabric.mul_points(sx, pg)
+        opened = fabric.open_authenticated_points(prod)
+        x, y = opened.normalize().to_affine()
+        return x.to_ints(), y.to_ints()
+
+    r0, r1 = _run(prog)
+    assert r0 == r1
+    expect = G1.generator((2,)).mul(
+        Fr.from_ints([(x * s) % BN254_R for x, s in zip(xs, ss)]))
+    ex, ey = expect.normalize().to_affine()
+    assert r0 == (ex.to_ints(), ey.to_ints())
