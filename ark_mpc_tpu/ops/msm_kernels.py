@@ -204,6 +204,130 @@ def _d2_const(shape):
         [jnp.full((1,) + shape[1:], v, jnp.uint32) for v in _ED_2D_LIMBS], 0)
 
 
+def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
+                 static_horner: bool = False):
+    """The epilogue's math as a pure array function (steps 1-4 of
+    `bucket_reduce_pallas`'s docstring).  Factored out of the kernel so
+    the fast tier can exercise every line as plain XLA on CPU
+    (`tests/test_msm_bucket_fast.py::test_bucket_reduce_tiny`) — the
+    interpret-mode Pallas wrapper unrolls into an XLA:CPU graph that
+    compiles for tens of minutes at any realistic grid."""
+    B = BASE_FIELD
+    W, nb = X.shape[1], X.shape[2]
+    virt = W - w_real  # includes the dead pad row (stays identity)
+
+    # 1. fold virtual rows [w_real-1 .. W-1] (virt+1 of them, padded
+    # to the next pow2 with identity rows) back into row w_real-1
+    if virt:
+        base = w_real - 1
+        span = virt + 1
+        p2 = 1 << (span - 1).bit_length()
+        if p2 > span:
+            idx_, idy, idz, idt = _id_coords((NLIMBS, p2 - span, nb))
+            X = jnp.concatenate([X, idx_], 1)
+            Y = jnp.concatenate([Y, idy], 1)
+            Z = jnp.concatenate([Z, idz], 1)
+            T = jnp.concatenate([T, idt], 1)
+        k = p2 // 2
+        while k >= 1:
+            a = slice(base, base + k)
+            b = slice(base + k, base + 2 * k)
+            d2k = _d2_const((NLIMBS, k, nb))
+            fx, fy, fz, ft = _padd(B, X[:, a], Y[:, a], Z[:, a],
+                                   T[:, a], X[:, b], Y[:, b], Z[:, b],
+                                   T[:, b], d2k)
+            X = jnp.concatenate([X[:, :base], fx], 1)
+            Y = jnp.concatenate([Y[:, :base], fy], 1)
+            Z = jnp.concatenate([Z[:, :base], fz], 1)
+            T = jnp.concatenate([T[:, :base], ft], 1)
+            k //= 2
+    X, Y, Z, T = X[:, :w_real], Y[:, :w_real], Z[:, :w_real], \
+        T[:, :w_real]
+    d2 = _d2_const((NLIMBS, w_real, nb))
+
+    # 2. drop bucket 0 (weight 0), then lane suffix-scan
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_real, nb), 2)
+    idx_, idy, idz, idt = _id_coords((NLIMBS, w_real, nb))
+
+    def drop_lane0(X, Y, Z, T):
+        m = lane == 0
+        return (jnp.where(m, idx_, X), jnp.where(m, idy, Y),
+                jnp.where(m, idz, Z), jnp.where(m, idt, T))
+
+    X, Y, Z, T = drop_lane0(X, Y, Z, T)
+    k = 1
+    while k < nb:
+        ix, iy, iz, it = _id_coords((NLIMBS, w_real, k))
+        sx = jnp.concatenate([X[..., k:], ix], -1)
+        sy = jnp.concatenate([Y[..., k:], iy], -1)
+        sz = jnp.concatenate([Z[..., k:], iz], -1)
+        st = jnp.concatenate([T[..., k:], it], -1)
+        X, Y, Z, T = _padd(B, X, Y, Z, T, sx, sy, sz, st, d2)
+        k *= 2
+
+    # 3. sum_{k>=1} suffix_k: drop lane 0, tree-reduce (pad back to
+    # full width with identities so shapes stay fixed)
+    X, Y, Z, T = drop_lane0(X, Y, Z, T)
+    k = nb // 2
+    while k >= 1:
+        ix, iy, iz, it = _id_coords((NLIMBS, w_real, nb - k))
+        # lanes [0:k] += lanes [k:2k]; stale lanes >= k never feed a
+        # later step (each step only reads [k':2k'] inside [0:k])
+        hx = jnp.concatenate([X[..., k:2 * k], ix], -1)[..., :nb]
+        hy = jnp.concatenate([Y[..., k:2 * k], iy], -1)[..., :nb]
+        hz = jnp.concatenate([Z[..., k:2 * k], iz], -1)[..., :nb]
+        ht = jnp.concatenate([T[..., k:2 * k], it], -1)[..., :nb]
+        X, Y, Z, T = _padd(B, X, Y, Z, T, hx, hy, hz, ht, d2)
+        k //= 2
+    # lane 0 of each row = S_w
+
+    # 4. Horner across windows, lane width 128 (all lanes compute the
+    # same value — elementwise ops never mix lanes)
+    lw = min(nb, 128)
+    Sx = X[..., :1]
+    Sy = Y[..., :1]
+    Sz = Z[..., :1]
+    St = T[..., :1]  # (NLIMBS, w_real, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, w_real, 1), 1)
+
+    def select_row(w):
+        m = row == w
+
+        def pick(A):
+            return jnp.broadcast_to(
+                jnp.where(m, A, 0).astype(jnp.int32)
+                .sum(axis=1, keepdims=True).astype(jnp.uint32),
+                (NLIMBS, 1, lw))
+
+        return pick(Sx), pick(Sy), pick(Sz), pick(St)
+
+    d2h = _d2_const((NLIMBS, 1, lw))
+    acc = select_row(jnp.int32(w_real - 1))
+
+    def body(i, acc4):
+        x, y, z, t = acc4
+        for _ in range(c_bits - 1):
+            x, y, z = _double_no_t(B, x, y, z)
+        x, y, z, t = _double(B, x, y, z, t)
+        gx, gy, gz, gt = select_row(w_real - 1 - i)
+        return _padd(B, x, y, z, t, gx, gy, gz, gt, d2h)
+
+    if static_horner:
+        # unrolled Python loop for the CPU fast-tier test: the fori_loop
+        # form costs a body COMPILE that XLA:CPU chews on for ~10 min at
+        # this field's graph sizes; eagerly the same math is seconds
+        acc4 = acc
+        for i in range(1, w_real):
+            acc4 = body(i, acc4)
+        x, y, z, t = acc4
+    else:
+        x, y, z, t = jax.lax.fori_loop(1, w_real, body, acc)
+    return (jnp.broadcast_to(x, (NLIMBS, 8, lw)),
+            jnp.broadcast_to(y, (NLIMBS, 8, lw)),
+            jnp.broadcast_to(z, (NLIMBS, 8, lw)),
+            jnp.broadcast_to(t, (NLIMBS, 8, lw)))
+
+
 def bucket_reduce_pallas(bx, by, bz, bt, w_real: int, c_bits: int):
     """Epilogue mega-kernel: bucket sums (NLIMBS, W', nb) -> ONE point
     (NLIMBS, 8, 128) with the result broadcast over rows, lane 0 valid.
@@ -223,115 +347,15 @@ def bucket_reduce_pallas(bx, by, bz, bt, w_real: int, c_bits: int):
     The round-3 XLA version of these steps cost ~470 ms of
     dispatch-granularity group ops; here they are ~20 slab adds + a
     31-step width-128 loop."""
-    B = BASE_FIELD
     W, nb = bx.shape[1], bx.shape[2]
-    virt = W - w_real  # includes the dead pad row (stays identity)
 
     def kernel(x_r, y_r, z_r, t_r, ox, oy, oz, ot):
-        X, Y, Z, T = x_r[...], y_r[...], z_r[...], t_r[...]
-        d2_full = _d2_const((NLIMBS, W, nb))
-
-        # 1. fold virtual rows [w_real-1 .. W-1] (virt+1 of them, padded
-        # to the next pow2 with identity rows) back into row w_real-1
-        if virt:
-            base = w_real - 1
-            span = virt + 1
-            p2 = 1 << (span - 1).bit_length()
-            if p2 > span:
-                idx_, idy, idz, idt = _id_coords((NLIMBS, p2 - span, nb))
-                X = jnp.concatenate([X, idx_], 1)
-                Y = jnp.concatenate([Y, idy], 1)
-                Z = jnp.concatenate([Z, idz], 1)
-                T = jnp.concatenate([T, idt], 1)
-            k = p2 // 2
-            while k >= 1:
-                a = slice(base, base + k)
-                b = slice(base + k, base + 2 * k)
-                d2k = _d2_const((NLIMBS, k, nb))
-                fx, fy, fz, ft = _padd(B, X[:, a], Y[:, a], Z[:, a],
-                                       T[:, a], X[:, b], Y[:, b], Z[:, b],
-                                       T[:, b], d2k)
-                X = jnp.concatenate([X[:, :base], fx], 1)
-                Y = jnp.concatenate([Y[:, :base], fy], 1)
-                Z = jnp.concatenate([Z[:, :base], fz], 1)
-                T = jnp.concatenate([T[:, :base], ft], 1)
-                k //= 2
-        X, Y, Z, T = X[:, :w_real], Y[:, :w_real], Z[:, :w_real], \
-            T[:, :w_real]
-        d2 = _d2_const((NLIMBS, w_real, nb))
-
-        # 2. drop bucket 0 (weight 0), then lane suffix-scan
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, w_real, nb), 2)
-        idx_, idy, idz, idt = _id_coords((NLIMBS, w_real, nb))
-
-        def drop_lane0(X, Y, Z, T):
-            m = lane == 0
-            return (jnp.where(m, idx_, X), jnp.where(m, idy, Y),
-                    jnp.where(m, idz, Z), jnp.where(m, idt, T))
-
-        X, Y, Z, T = drop_lane0(X, Y, Z, T)
-        k = 1
-        while k < nb:
-            ix, iy, iz, it = _id_coords((NLIMBS, w_real, k))
-            sx = jnp.concatenate([X[..., k:], ix], -1)
-            sy = jnp.concatenate([Y[..., k:], iy], -1)
-            sz = jnp.concatenate([Z[..., k:], iz], -1)
-            st = jnp.concatenate([T[..., k:], it], -1)
-            X, Y, Z, T = _padd(B, X, Y, Z, T, sx, sy, sz, st, d2)
-            k *= 2
-
-        # 3. sum_{k>=1} suffix_k: drop lane 0, tree-reduce (pad back to
-        # full width with identities so shapes stay fixed)
-        X, Y, Z, T = drop_lane0(X, Y, Z, T)
-        k = nb // 2
-        while k >= 1:
-            ix, iy, iz, it = _id_coords((NLIMBS, w_real, nb - k))
-            # lanes [0:k] += lanes [k:2k]; stale lanes >= k never feed a
-            # later step (each step only reads [k':2k'] inside [0:k])
-            hx = jnp.concatenate([X[..., k:2 * k], ix], -1)[..., :nb]
-            hy = jnp.concatenate([Y[..., k:2 * k], iy], -1)[..., :nb]
-            hz = jnp.concatenate([Z[..., k:2 * k], iz], -1)[..., :nb]
-            ht = jnp.concatenate([T[..., k:2 * k], it], -1)[..., :nb]
-            X, Y, Z, T = _padd(B, X, Y, Z, T, hx, hy, hz, ht, d2)
-            k //= 2
-        # lane 0 of each row = S_w
-
-        # 4. Horner across windows, lane width 128 (all lanes compute the
-        # same value — elementwise ops never mix lanes)
-        lw = min(nb, 128)
-        Sx = X[..., :1]
-        Sy = Y[..., :1]
-        Sz = Z[..., :1]
-        St = T[..., :1]  # (NLIMBS, w_real, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (1, w_real, 1), 1)
-
-        def select_row(w):
-            m = row == w
-
-            def pick(A):
-                return jnp.broadcast_to(
-                    jnp.where(m, A, 0).astype(jnp.int32)
-                    .sum(axis=1, keepdims=True).astype(jnp.uint32),
-                    (NLIMBS, 1, lw))
-
-            return pick(Sx), pick(Sy), pick(Sz), pick(St)
-
-        d2h = _d2_const((NLIMBS, 1, lw))
-        acc = select_row(jnp.int32(w_real - 1))
-
-        def body(i, acc4):
-            x, y, z, t = acc4
-            for _ in range(c_bits - 1):
-                x, y, z = _double_no_t(B, x, y, z)
-            x, y, z, t = _double(B, x, y, z, t)
-            gx, gy, gz, gt = select_row(w_real - 1 - i)
-            return _padd(B, x, y, z, t, gx, gy, gz, gt, d2h)
-
-        x, y, z, t = jax.lax.fori_loop(1, w_real, body, acc)
-        ox[...] = jnp.broadcast_to(x, (NLIMBS, 8, lw))
-        oy[...] = jnp.broadcast_to(y, (NLIMBS, 8, lw))
-        oz[...] = jnp.broadcast_to(z, (NLIMBS, 8, lw))
-        ot[...] = jnp.broadcast_to(t, (NLIMBS, 8, lw))
+        x, y, z, t = _reduce_body(x_r[...], y_r[...], z_r[...], t_r[...],
+                                  w_real, c_bits)
+        ox[...] = x
+        oy[...] = y
+        oz[...] = z
+        ot[...] = t
 
     lw = min(nb, 128)
     out = jax.ShapeDtypeStruct((NLIMBS, 8, lw), jnp.uint32)

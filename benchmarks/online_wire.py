@@ -118,10 +118,17 @@ def main():
     tpu_mode = os.environ.get("BENCH_WIRE_TPU") == "1"
     cpu_env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
     if tpu_mode:
-        # party 0 on the tunneled chip: restore the axon plugin env even if
-        # a parent (bench.py) forced the CPU platform
-        p0_env = {k: v for k, v in os.environ.items()
-                  if k not in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")}
+        # party 0 on the tunneled chip: drop ONLY cpu-forcing values of the
+        # platform vars (a parent like bench.py sets JAX_PLATFORMS=cpu /
+        # PALLAS_AXON_POOL_IPS=""); the image's real defaults
+        # (JAX_PLATFORMS=axon, PALLAS_AXON_POOL_IPS=127.0.0.1) must
+        # SURVIVE — deleting them outright detaches the axon plugin and
+        # silently lands party 0 back on CPU
+        p0_env = dict(os.environ)
+        if p0_env.get("JAX_PLATFORMS", "axon") == "cpu":
+            p0_env.pop("JAX_PLATFORMS", None)
+        if p0_env.get("PALLAS_AXON_POOL_IPS", "x") == "":
+            p0_env.pop("PALLAS_AXON_POOL_IPS", None)
         p0_env["BENCH_WIRE_DEVICE"] = "tpu"
     else:
         p0_env = cpu_env

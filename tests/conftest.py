@@ -14,6 +14,20 @@ in a subprocess (tests/test_multichip.py) since device count is fixed at
 backend init.
 """
 
+import pathlib
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache (works on the CPU backend; the axon
+# tunnel does not engage it — BASELINE.md round-4 notes).  The fast tier
+# is compile-bound: the cache turns every LLVM compile after the first
+# run (and every duplicate compile across xdist workers within one run)
+# into a cheap deserialization, and skipping `backend_compile_and_load`
+# also sidesteps the XLA:CPU allocator abort that killed full-suite runs
+# at ~135 tests (VERDICT r4 weak #1).
+_cache_dir = pathlib.Path(__file__).parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -23,6 +23,9 @@ def test_dryrun_multichip_subprocess():
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "dryrun_multichip OK" in res.stdout
+    # the offline stage (sharded (U, L, phi) ciphertext-stack ct x pt
+    # product, decrypt-verified) must have executed over the whole mesh
+    assert "offline ct*pt stack sharded over 8 devices OK" in res.stdout
 
 
 import pytest
