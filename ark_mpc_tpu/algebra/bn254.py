@@ -212,8 +212,27 @@ class G1:
     def mul(self, scalar: Fr) -> "G1":
         """Double-and-select ladder over the canonical scalar bits — ONE
         jitted `fori_loop` program (an unrolled 254-step eager loop costs
-        ~20k dispatches per call; the loop form compiles one body)."""
-        return _g1_scalar_mul(self, scalar)
+        ~20k dispatches per call; the loop form compiles one body).
+
+        Shapes are CANONICALIZED before the jit: broadcast point/scalar
+        together, flatten, pad the batch up to a power of two (min 8) and
+        slice back.  The ladder body is expensive for XLA:CPU (~minutes
+        per compile), so every protocol-layer mul of any small batch must
+        hit ONE cached compile instead of one per (point, scalar) shape
+        pair — this took the BN254 point-protocol tests from 563 s to
+        seconds after the first compile."""
+        shape = jnp.broadcast_shapes(self.shape, scalar.shape)
+        n = 1
+        for s in shape:
+            n *= s
+        pad = max(8, 1 << (max(n - 1, 1)).bit_length())
+        pt = self.broadcast_to(shape).reshape(n)
+        sc = scalar.broadcast_to(shape).reshape(n)
+        if pad != n:
+            pt = G1.concatenate([pt, G1.identity((pad - n,))])
+            sc = Fr.concatenate([sc, Fr.zeros((pad - n,))])
+        out = _g1_scalar_mul(pt, sc)
+        return out[:n].reshape(*shape)
 
     __mul__ = mul
     __rmul__ = mul

@@ -5,9 +5,11 @@ BGV public keys, then exchange encryptions of their MAC key shares (used by
 `authenticate_vec` to compute homomorphic MACs of the counterparty's
 shares).  The reference gates the MAC-share ciphertexts behind a ZKPoK of
 plaintext knowledge (`encrypt_and_prove` / `verify_proof`,
-`mp-spdz-rs/src/ffi.rs:155-166`); the proof layer here is pending (tracked
-in docs/parity.md #33) — the exchange structure, serialization, and state
-handling match.
+`mp-spdz-rs/src/ffi.rs:155-166`).  This module is the PROTOTYPE t-generic
+exchange (no proof gate) kept for the small-parameter tests; the
+production path is `triplets_l.py:key_exchange_l`, whose exchange IS
+ZK-gated at 2^-128 via the word-form amortized proof
+(`offline/bgv/zkpok_words.py`).
 """
 
 from __future__ import annotations

@@ -9,8 +9,9 @@ encrypted MAC key (`authenticate_vec`, `triplets.rs:104-114`).
 Generic over the BGV plaintext prime t: with the test parameter sets this
 runs the complete two-party protocol end-to-end today; the Curve25519-order
 plaintext backend (docs/bgv_design.md) makes the output feed the online
-fabric directly.  The ZKPoK gate on exchanged ciphertexts is pending
-(docs/parity.md #25/#33).
+fabric directly.  This t-generic path is the PROTOTYPE (no ZK gate, small
+test parameters); the production pipeline is `triplets_l.py`, whose
+exchanges are ZK-gated at 2^-128 (`offline/bgv/zkpok_words.py`).
 
 Slot vectors are uint32 arrays (n,) mod t; local slot arithmetic uses the
 32-bit modular VPU kernels.

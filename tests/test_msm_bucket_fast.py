@@ -26,7 +26,7 @@ def _eq(a: CurvePoint, b: CurvePoint) -> bool:
 
 
 def test_bucket_accumulate_tiny():
-    W, R, nb = 2, 3, 8
+    W, R, nb = 2, 2, 8
     n = W * R * nb
     pts = CurvePoint.generator((n,)).mul(
         Scalar.from_ints([(5 * i + 2) for i in range(1, n + 1)]))
@@ -36,6 +36,10 @@ def test_bucket_accumulate_tiny():
         return c.limbs.reshape(NLIMBS, R, W, nb)
 
     coords = [grid_of(c) for c in pts._coords()]
+    # EAGER interpret-mode call: jitting would unroll the grid into a
+    # graph XLA:CPU recompiles EVERY run — programs containing
+    # interpret-mode pallas_calls never land in the persistent cache
+    # (verified: zero cache entries at min_compile_time 0)
     bx, by, bz, bt = bucket_accumulate_pallas(*coords)
     Felt = type(pts.X)
     got = CurvePoint(Felt(bx), Felt(by), Felt(bz), Felt(bt))  # (W, nb)

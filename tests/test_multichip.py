@@ -12,10 +12,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_dryrun_multichip_subprocess():
+def _cpu_env():
+    """Subprocess env: CPU backend + the SAME persistent XLA compile cache
+    the suite uses (tests/conftest.py) — without it every subprocess test
+    repays its full LLVM compile set on every run."""
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon plugin (stalls)
     env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, "tests",
+                                                    ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+    return env
+
+
+def test_dryrun_multichip_subprocess():
+    env = _cpu_env()
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "__graft_entry__.py"),
          "--dryrun", "8"],
@@ -41,9 +53,7 @@ def test_mesh_fabric_multi_device(n_dev):
     honest + corrupted-MAC + unaligned-batch raise) on real 2/4/8-device
     virtual CPU meshes (VERDICT r2 item 6).  Fresh interpreter per size:
     device count is fixed at backend init."""
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _cpu_env()
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "tests", "_mesh_fabric_prog.py"),
          str(n_dev)],
@@ -147,9 +157,7 @@ def test_folded_deferred_check_no_mesh():
 
 
 def test_entry_compiles_single_device():
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _cpu_env()
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "__graft_entry__.py")],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO,

@@ -87,10 +87,10 @@ class TestPointValidation:
         bad = CurvePoint.from_affine_ints(0, P - 1)
         xc, yc = _wire_arrays(bad)
         with pytest.raises(AuthenticationError):
-            _point_from_wire_checked(xc, yc)
+            _point_from_wire_checked(CurvePoint, xc, yc)
         good = CurvePoint.generator(())
         xg, yg = _wire_arrays(good)
-        out = _point_from_wire_checked(xg, yg)
+        out = _point_from_wire_checked(CurvePoint, xg, yg)
         assert bool(np.asarray(out.equals(good)))
 
 
