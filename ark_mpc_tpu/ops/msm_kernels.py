@@ -205,7 +205,7 @@ def _d2_const(shape):
 
 
 def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
-                 static_horner: bool = False):
+                 static_horner: bool | None = None):
     """The epilogue's math as a pure array function (steps 1-4 of
     `bucket_reduce_pallas`'s docstring).  Factored out of the kernel so
     the fast tier can exercise every line as plain XLA on CPU
@@ -312,10 +312,13 @@ def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
         gx, gy, gz, gt = select_row(w_real - 1 - i)
         return _padd(B, x, y, z, t, gx, gy, gz, gt, d2h)
 
+    if static_horner is None:
+        # auto: concrete (eager CPU) inputs take the unrolled Python loop
+        # — the fori_loop body COMPILE costs XLA:CPU minutes at this
+        # field's graph sizes; under a trace (TPU kernel) fori keeps the
+        # graph O(1) in the window count
+        static_horner = not isinstance(Sx, jax.core.Tracer)
     if static_horner:
-        # unrolled Python loop for the CPU fast-tier test: the fori_loop
-        # form costs a body COMPILE that XLA:CPU chews on for ~10 min at
-        # this field's graph sizes; eagerly the same math is seconds
         acc4 = acc
         for i in range(1, w_real):
             acc4 = body(i, acc4)
@@ -408,15 +411,23 @@ def msm_bucket_tpu(points, scalars):
     """Full bucketed MSM entry: flat (n,) points x scalars -> CurvePoint.
     Splits into segments (HBM cap), reads back each segment's max bucket
     occupancy (one scalar per segment — the only host round trip), and
-    sums the partial MSMs."""
+    sums the partial MSMs.
+
+    On TPU the segment runs as ONE jit (Mosaic compiles the Pallas grids
+    without unrolling).  On CPU it runs EAGERLY: under jit the
+    interpret-mode kernels unroll into a graph XLA:CPU compiles for tens
+    of minutes even at the tests' shrunk window config, and such programs
+    never land in the persistent cache either."""
     n = points.shape[0]
+    seg_fn = (_msm_segment if jax.default_backend() == "tpu"
+              else _msm_segment.__wrapped__)
     partials = []
     for beg in range(0, n, _SEGMENT):
         p = points[beg:beg + _SEGMENT]
         s = scalars[beg:beg + _SEGMENT]
         mx = max(1, int(jax.device_get(_max_rank_of(s))))
         max_rank = -(-mx // _RANK_GRAN) * _RANK_GRAN
-        partials.append(_msm_segment(p, s, max_rank))
+        partials.append(seg_fn(p, s, max_rank))
     acc = partials[0]
     for p in partials[1:]:
         acc = acc + p
