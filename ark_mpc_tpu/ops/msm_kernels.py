@@ -204,6 +204,38 @@ def _d2_const(shape):
         [jnp.full((1,) + shape[1:], v, jnp.uint32) for v in _ED_2D_LIMBS], 0)
 
 
+# Jitted slab primitives for the CONCRETE (eager CPU) pipeline path.
+# Raw eager `_padd` is ~200 small dispatches (~10 s of JAX eager overhead
+# per slab add); each of these compiles once per shape (~10 s, persisted
+# to the compilation cache as pure XLA) and then costs milliseconds.
+@jax.jit
+def _padd_j(x1, y1, z1, t1, x2, y2, z2, t2, d2):
+    return _padd(BASE_FIELD, x1, y1, z1, t1, x2, y2, z2, t2, d2)
+
+
+@jax.jit
+def _double_j(x, y, z, t):
+    return _double(BASE_FIELD, x, y, z, t)
+
+
+@jax.jit
+def _double_no_t_j(x, y, z):
+    return _double_no_t(BASE_FIELD, x, y, z)
+
+
+def _accumulate_body(px, py, pz, pt):
+    """Pure-array bucket accumulation — the CPU path of `msm_bucket_tpu`
+    (same math as `bucket_accumulate_pallas`'s grid, one jitted slab add
+    per rank level)."""
+    R, W, nb = px.shape[1], px.shape[2], px.shape[3]
+    ax, ay, az, at = _id_coords((NLIMBS, W, nb))
+    d2 = _d2_const((NLIMBS, W, nb))
+    for r in range(R):
+        ax, ay, az, at = _padd_j(ax, ay, az, at, px[:, r], py[:, r],
+                                 pz[:, r], pt[:, r], d2)
+    return ax, ay, az, at
+
+
 def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
                  static_horner: bool | None = None):
     """The epilogue's math as a pure array function (steps 1-4 of
@@ -215,6 +247,12 @@ def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
     B = BASE_FIELD
     W, nb = X.shape[1], X.shape[2]
     virt = W - w_real  # includes the dead pad row (stays identity)
+    if isinstance(X, jax.core.Tracer):
+        padd = lambda *a: _padd(B, *a)  # noqa: E731 - inline under trace
+        dbl = lambda *a: _double(B, *a)  # noqa: E731
+        dblnt = lambda *a: _double_no_t(B, *a)  # noqa: E731
+    else:
+        padd, dbl, dblnt = _padd_j, _double_j, _double_no_t_j
 
     # 1. fold virtual rows [w_real-1 .. W-1] (virt+1 of them, padded
     # to the next pow2 with identity rows) back into row w_real-1
@@ -233,9 +271,9 @@ def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
             a = slice(base, base + k)
             b = slice(base + k, base + 2 * k)
             d2k = _d2_const((NLIMBS, k, nb))
-            fx, fy, fz, ft = _padd(B, X[:, a], Y[:, a], Z[:, a],
-                                   T[:, a], X[:, b], Y[:, b], Z[:, b],
-                                   T[:, b], d2k)
+            fx, fy, fz, ft = padd(X[:, a], Y[:, a], Z[:, a],
+                                  T[:, a], X[:, b], Y[:, b], Z[:, b],
+                                  T[:, b], d2k)
             X = jnp.concatenate([X[:, :base], fx], 1)
             Y = jnp.concatenate([Y[:, :base], fy], 1)
             Z = jnp.concatenate([Z[:, :base], fz], 1)
@@ -262,7 +300,7 @@ def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
         sy = jnp.concatenate([Y[..., k:], iy], -1)
         sz = jnp.concatenate([Z[..., k:], iz], -1)
         st = jnp.concatenate([T[..., k:], it], -1)
-        X, Y, Z, T = _padd(B, X, Y, Z, T, sx, sy, sz, st, d2)
+        X, Y, Z, T = padd(X, Y, Z, T, sx, sy, sz, st, d2)
         k *= 2
 
     # 3. sum_{k>=1} suffix_k: drop lane 0, tree-reduce (pad back to
@@ -277,7 +315,7 @@ def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
         hy = jnp.concatenate([Y[..., k:2 * k], iy], -1)[..., :nb]
         hz = jnp.concatenate([Z[..., k:2 * k], iz], -1)[..., :nb]
         ht = jnp.concatenate([T[..., k:2 * k], it], -1)[..., :nb]
-        X, Y, Z, T = _padd(B, X, Y, Z, T, hx, hy, hz, ht, d2)
+        X, Y, Z, T = padd(X, Y, Z, T, hx, hy, hz, ht, d2)
         k //= 2
     # lane 0 of each row = S_w
 
@@ -307,10 +345,10 @@ def _reduce_body(X, Y, Z, T, w_real: int, c_bits: int,
     def body(i, acc4):
         x, y, z, t = acc4
         for _ in range(c_bits - 1):
-            x, y, z = _double_no_t(B, x, y, z)
-        x, y, z, t = _double(B, x, y, z, t)
+            x, y, z = dblnt(x, y, z)
+        x, y, z, t = dbl(x, y, z, t)
         gx, gy, gz, gt = select_row(w_real - 1 - i)
-        return _padd(B, x, y, z, t, gx, gy, gz, gt, d2h)
+        return padd(x, y, z, t, gx, gy, gz, gt, d2h)
 
     if static_horner is None:
         # auto: concrete (eager CPU) inputs take the unrolled Python loop
@@ -399,9 +437,20 @@ def _msm_segment(points, scalars, max_rank: int):
         (NLIMBS, max_rank, W_PAD, N_BUCKETS))
         for c in ppad._coords()]
 
-    bx, by, bz, bt = bucket_accumulate_pallas(*gathered)
-    rx, ry, rz, rt = bucket_reduce_pallas(bx, by, bz, bt,
-                                          w_real=N_WINDOWS, c_bits=C_BITS)
+    if isinstance(gathered[0], jax.core.Tracer):
+        # TPU path (under the _msm_segment jit): Mosaic compiles the
+        # Pallas grids without unrolling
+        bx, by, bz, bt = bucket_accumulate_pallas(*gathered)
+        rx, ry, rz, rt = bucket_reduce_pallas(bx, by, bz, bt,
+                                              w_real=N_WINDOWS,
+                                              c_bits=C_BITS)
+    else:
+        # eager CPU path (tests): the same math through jitted slab
+        # primitives — interpret-mode Pallas is either minutes of eager
+        # dispatch overhead or tens of minutes of unrolled-graph compile
+        bx, by, bz, bt = _accumulate_body(*gathered)
+        rx, ry, rz, rt = _reduce_body(bx, by, bz, bt,
+                                      w_real=N_WINDOWS, c_bits=C_BITS)
     Felt = type(points.X)
     return CurvePoint(Felt(rx[:, 0, 0]), Felt(ry[:, 0, 0]),
                       Felt(rz[:, 0, 0]), Felt(rt[:, 0, 0]))

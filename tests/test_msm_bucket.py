@@ -27,21 +27,38 @@ from ark_mpc_tpu.ops.msm_kernels import _rank_grid_host, msm_bucket_tpu
 
 pytestmark = pytest.mark.slow
 
-# shrunk pipeline configuration (see module docstring)
-_TINY = dict(C_BITS=4, N_BUCKETS=16, N_WINDOWS=64, _TOP_VIRT=4,
-             W_PAD=68, _RANK_GRAN=16)
+# shrunk pipeline configuration (see module docstring): 8 windows of 4
+# bits over scalars < 2^32 (digit rows beyond window 7 are sliced off via
+# the _scalar_digits patch), 16 buckets, 2 virtual top rows
+_TINY = dict(C_BITS=4, N_BUCKETS=16, N_WINDOWS=8, _TOP_VIRT=2,
+             W_PAD=10, _RANK_GRAN=8)
+_SMALL_BITS = 32  # scalars < 2^(C_BITS * N_WINDOWS)
 
 
 @pytest.fixture
 def tiny_grid(monkeypatch):
     """Patch the module window constants to the tiny config and drop the
     jit caches (the constants are free variables of the traced programs,
-    so stale cache entries would silently use the old config)."""
+    so stale cache entries would silently use the old config).  Scalar
+    digits are truncated to the patched window count — valid because the
+    tests draw scalars below 2^32, so the sliced-off rows are all zero
+    (and digit-0 entries are dropped by design anyway)."""
+    import ark_mpc_tpu.algebra.curve as curve_mod
+
     for k, v in _TINY.items():
         monkeypatch.setattr(msm_kernels, k, v)
+    orig = curve_mod._scalar_digits
+    monkeypatch.setattr(
+        curve_mod, "_scalar_digits",
+        lambda sc, c: orig(sc, c)[:_TINY["N_WINDOWS"]])
     jax.clear_caches()
     yield
     jax.clear_caches()
+
+
+def _small_scalars(rng, n):
+    return Scalar.from_ints(
+        [int(x) for x in rng.integers(1, 1 << _SMALL_BITS, size=n)])
 
 
 def _eq(a: CurvePoint, b: CurvePoint) -> bool:
@@ -72,7 +89,7 @@ def test_bucket_msm_matches_ladder(tiny_grid):
     rng = np.random.default_rng(7)
     n = 32
     pts = CurvePoint.random(n, rng)
-    sc = Scalar.random(n, rng)
+    sc = _small_scalars(rng, n)
     got = msm_bucket_tpu(pts, sc)
     want = _scalar_mul(pts, sc).sum()
     assert _eq(got, want)
@@ -85,7 +102,7 @@ def test_bucket_msm_clustered_scalars(tiny_grid):
     rng = np.random.default_rng(8)
     n = 16
     pts = CurvePoint.random(n, rng)
-    sc = Scalar.random((), rng).broadcast_to((n,))
+    sc = _small_scalars(rng, 1).broadcast_to((n,))
     got = msm_bucket_tpu(pts, sc)
     want = _scalar_mul(pts, sc).sum()
     assert _eq(got, want)
@@ -97,7 +114,7 @@ def test_bucket_msm_segments(tiny_grid, monkeypatch):
     rng = np.random.default_rng(9)
     n = 32
     pts = CurvePoint.random(n, rng)
-    sc = Scalar.random(n, rng)
+    sc = _small_scalars(rng, n)
     got = msm_bucket_tpu(pts, sc)
     want = _scalar_mul(pts, sc).sum()
     assert _eq(got, want)
