@@ -63,13 +63,14 @@ def test_g1_group_law_golden():
     assert _b(g.is_on_curve())
     d = g.double()
     assert _b(d.is_on_curve())
-    x2, y2 = (np.asarray(c.to_ints()) for c in d.to_affine())
+    x2, y2 = (np.asarray(c.to_ints()).reshape(-1)[0] for c in d.to_affine())
     want = _affine_add((1, 2), (1, 2))
     assert (int(x2), int(y2)) == want
 
     k = 77362
     got = g.mul(Fr.from_ints(k))
-    gx, gy = (int(np.asarray(c.to_ints())) for c in got.to_affine())
+    gx, gy = (int(np.asarray(c.to_ints()).reshape(-1)[0])
+              for c in got.to_affine())
     assert (gx, gy) == _affine_mul((1, 2), k)
     assert _b(got.is_on_curve())
 
