@@ -219,6 +219,10 @@ class CurvePoint:
     # Pippenger (see `_msm_pippenger`).  Crossover measured in
     # `benchmarks/msm.py` (see BASELINE.md "MSM" table).
     MSM_PIPPENGER_CUTOFF = 128
+    # TPU dispatch crossover ladder -> window-sum kernel (gather-free
+    # Pippenger, `ops/curve_kernels.py:window_sums_pallas`): provisional
+    # until measured in benchmarks/msm.py — set high = off.
+    MSM_WINSUM_CUTOFF = 1 << 62
     # TPU: the windowed-ladder Pallas mega-kernel at EVERY size.  Measured
     # 2026-08-20 on the v5e chip (benchmarks/msm.py, BASELINE.md round-5
     # MSM table): the bucketed-Pippenger pipeline loses to the ladder at
@@ -252,11 +256,16 @@ class CurvePoint:
 
         n = int(np.prod(scalars.shape)) if scalars.shape else 1
         if jax.default_backend() == "tpu":
-            if os.environ.get("ARK_MSM_FORCE", "") == "bucket":
+            force = os.environ.get("ARK_MSM_FORCE", "")
+            if force == "bucket":
                 from ..ops.msm_kernels import msm_bucket_tpu
 
                 return msm_bucket_tpu(points.reshape(n).broadcast_to((n,)),
                                       scalars.reshape(n))
+            if force == "winsum" or (force != "ladder"
+                                     and n >= CurvePoint.MSM_WINSUM_CUTOFF):
+                return _msm_winsum_jit(
+                    points.reshape(n).broadcast_to((n,)), scalars.reshape(n))
             # one dispatch for ladder + tree sum (eager tree levels would
             # each pay the tunnel RTT)
             return _msm_pallas_jit(points.reshape(n).broadcast_to((n,)),
@@ -397,6 +406,13 @@ def _msm_pallas_jit(points: CurvePoint, scalars: Scalar) -> CurvePoint:
     from ..ops.curve_kernels import scalar_mul_pallas
 
     return scalar_mul_pallas(points, scalars).sum()
+
+
+@jax.jit
+def _msm_winsum_jit(points: CurvePoint, scalars: Scalar) -> CurvePoint:
+    from ..ops.curve_kernels import msm_windowsum_pallas
+
+    return msm_windowsum_pallas(points, scalars)
 
 
 def _ladder_unroll() -> int:

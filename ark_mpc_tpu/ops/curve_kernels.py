@@ -245,6 +245,164 @@ def ladder_pallas(canon, px, py, pz, pt, block: int = BLOCK):
     )(canon, px, py, pz, pt)
 
 
+def window_sums_pallas(canon, px, py, pz, pt, block: int = WBLOCK,
+                       windows: int = 64):
+    """Per-window partial MSM sums — the gather-free Pippenger core.
+
+    For each 4-bit window w, computes the lane-distributed group sum
+    S_w[lane] over all grid blocks of digit_w(s_i) * P_i (the caller
+    finishes with a cross-lane reduce and a 64-step Horner:
+    result = sum_w 2^(4w) * S_w).  The point of the restructure vs
+    `windowed_mul_pallas`: the ladder pays 4 doublings PER POINT per
+    window (64 x ~29 muls/pt); here every point pays only the one-hot
+    table select + ONE cached add into a shared VMEM accumulator
+    (64 x 8 muls/pt + a one-time 16-entry table ~ 113), and the
+    doublings happen once, on the accumulated window sums, in the
+    epilogue.  ~690 vs ~2400 base-field muls per point.  Same work
+    shape as arkworks' bucketed Pippenger (`curve.rs:549-584`) but with
+    the 16 buckets realised as a one-hot select instead of a gather —
+    no sort, no rank grid (the measured downfall of
+    `ops/msm_kernels.py`, BASELINE.md round-5 MSM table).
+
+    The 4 outputs are (windows, NLIMBS, block) extended coords; the
+    grid revisits them (constant index_map) so they stay VMEM-resident
+    across all n/block sequential steps.  `windows < 64` accumulates
+    only the LOW `windows` windows (test knob, as in
+    `windowed_mul_pallas`)."""
+    n = canon.shape[1]
+    assert n % block == 0, f"n must be a multiple of {block}"
+    B = BASE_FIELD
+
+    def kernel(s_r, x_r, y_r, z_r, t_r, ox, oy, oz, ot):
+        pid = pl.program_id(0)
+        canon_t = s_r[...]
+        P = (x_r[...], y_r[...], z_r[...], t_r[...])
+        w = canon_t.shape[1]
+        zero = jnp.zeros((NLIMBS, w), jnp.uint32)
+        one = jnp.concatenate(
+            [jnp.ones((1, w), jnp.uint32), jnp.zeros((NLIMBS - 1, w), jnp.uint32)], 0)
+        d2 = jnp.concatenate(
+            [jnp.full((1, w), v, jnp.uint32) for v in _ED_2D_LIMBS], 0)
+
+        # 16-entry multiples table, cached form (as in windowed_mul_pallas);
+        # entry 0 is the identity, whose cached form adds as a no-op under
+        # the complete Edwards addition law (zero-digit lanes cost nothing
+        # extra and stay correct).
+        ext = [(zero, one, one, zero), P]
+        for k in range(2, 16):
+            if k % 2 == 0:
+                ext.append(_double(B, *ext[k // 2]))
+            else:
+                ext.append(_padd(B, *ext[k - 1], *P, d2))
+        cp = jnp.stack([_sub_mod(B, y, x) for (x, y, z, t) in ext])
+        cq = jnp.stack([_add_mod(B, y, x) for (x, y, z, t) in ext])
+        cr = jnp.stack([_bmul(d2, t) for (x, y, z, t) in ext])
+        cz = jnp.stack([z for (x, y, z, t) in ext])
+        ids = jax.lax.broadcasted_iota(jnp.uint32, (16, 1, w), 0)
+        init = pid == 0
+
+        def body(i, _):
+            off = i * 4  # LSW-first; 4-bit windows stay within a limb
+            li = off >> 4
+            sh = (off & 15).astype(jnp.uint32)
+            row = canon_t[0]
+            for r in range(1, NLIMBS):
+                row = jnp.where(li == r, canon_t[r], row)
+            digit = (row >> sh) & 15  # (w,)
+            hit = digit[None, None, :] == ids
+            sel = [jnp.where(hit, comp, 0).astype(jnp.int32)
+                   .sum(axis=0).astype(jnp.uint32)
+                   for comp in (cp, cq, cr, cz)]
+
+            idx = (pl.dslice(i, 1), slice(None), slice(None))
+            # first grid step: accumulators start at the identity (the
+            # pre-write VMEM contents are junk and must not be read into
+            # the group law)
+            ax = jnp.where(init, zero, ox[idx][0])
+            ay = jnp.where(init, one, oy[idx][0])
+            az = jnp.where(init, one, oz[idx][0])
+            at_ = jnp.where(init, zero, ot[idx][0])
+            nx, ny, nz, nt = _padd_cached(B, ax, ay, az, at_, *sel)
+            ox[idx] = nx[None]
+            oy[idx] = ny[None]
+            oz[idx] = nz[None]
+            ot[idx] = nt[None]
+            return 0
+
+        jax.lax.fori_loop(0, windows, body, 0)
+
+    tile = pl.BlockSpec((NLIMBS, block), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+    acc_tile = pl.BlockSpec((windows, NLIMBS, block), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((windows, NLIMBS, block), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block,),
+        in_specs=[tile] * 5,
+        out_specs=(acc_tile,) * 4,
+        out_shape=(out,) * 4,
+        interpret=_interpret(),
+    )(canon, px, py, pz, pt)
+
+
+def msm_windowsum_pallas(point, scalar, block: int = WBLOCK,
+                         windows: int = 64):
+    """Full MSM via `window_sums_pallas`: one kernel launch for the
+    window sums, then (inside the enclosing jit) a log-depth cross-lane
+    tree reduce batched over all windows and an unrolled 64-step Horner
+    (4 doublings + 1 add per window, on ONE point).  `curve.rs:549-584`
+    analog; measured against the windowed ladder in `benchmarks/msm.py`."""
+    from ..algebra.curve import CurvePoint
+
+    shape = jnp.broadcast_shapes(point.shape, scalar.shape)
+    n = 1
+    for s in shape:
+        n *= int(s)
+    pt = point.broadcast_to(shape).reshape(n)
+    sc = scalar.broadcast_to(shape).reshape(n)
+    canon = lb.from_mont(SCALAR_FIELD, sc.limbs)
+    pad = (-n) % block
+    if pad:
+        # pad scalars with 0 (selects the identity table entry every
+        # window) and points with the identity so the padded tables stay
+        # well-formed
+        zcol = jnp.zeros((NLIMBS, pad), jnp.uint32)
+        onecol = jnp.concatenate(
+            [jnp.ones((1, pad), jnp.uint32),
+             jnp.zeros((NLIMBS - 1, pad), jnp.uint32)], 0)
+        canon_p = jnp.concatenate([canon, zcol], axis=1)
+        cx, cy, cz, ct = (c.limbs for c in pt._coords())
+        coords = [jnp.concatenate([cx, zcol], axis=1),
+                  jnp.concatenate([cy, onecol], axis=1),
+                  jnp.concatenate([cz, onecol], axis=1),
+                  jnp.concatenate([ct, zcol], axis=1)]
+    else:
+        canon_p = canon
+        coords = [c.limbs for c in pt._coords()]
+    wx, wy, wz, wt = window_sums_pallas(canon_p, *coords, block=block,
+                                        windows=windows)
+    fp = type(pt.X)
+    # (windows, NLIMBS, block) -> CurvePoint with batch (windows, block)
+    S = CurvePoint(*(fp(jnp.transpose(a, (1, 0, 2)))
+                     for a in (wx, wy, wz, wt)))
+    S = S.sum(axis=1)  # batch (windows,): tree over lanes, windows batched
+    slimbs = [c.limbs for c in S._coords()]  # each (NLIMBS, windows)
+
+    # Horner MSW-first: acc = 16*acc + S_w.  fori_loop, not unrolled — an
+    # unrolled 64 x (4 doubles + add) epilogue is ~3k base-field convs of
+    # static graph, minutes of XLA compile through the remote tunnel.
+    def body(j, acc):
+        w = windows - 1 - j
+        for _ in range(4):
+            acc = acc.double()
+        sw = CurvePoint(*(fp(jax.lax.dynamic_index_in_dim(
+            l, w, axis=1, keepdims=False)) for l in slimbs))
+        return acc + sw
+
+    return jax.lax.fori_loop(0, windows, body, CurvePoint.identity(()))
+
+
 def mul_by_order_pallas(point, block: int = WBLOCK, kernel=None):
     """l * P via the mega-kernel (the prime-subgroup check hot path:
     `fabric/points.py` validates every point received off the wire)."""

@@ -48,6 +48,14 @@ def bucket_msm(pts, s):
     return msm_bucket_tpu(pts, s)
 
 
+@jax.jit
+def winsum_msm(pts, s):
+    # gather-free Pippenger: per-window VMEM accumulators + Horner epilogue
+    from ark_mpc_tpu.ops.curve_kernels import msm_windowsum_pallas
+
+    return msm_windowsum_pallas(pts, s)
+
+
 def cpu_anchor_msm(n: int) -> float:
     """Build + run the native multicore Pippenger anchor
     (`native/msm_anchor.cpp`, the `benches/native_msm.rs:14-31` stand-in);
@@ -117,10 +125,12 @@ print(f"dispatch RTT baseline: {RTT*1e3:.1f} ms (subtracted below)",
 XLA_MAX = int(os.environ.get("XLA_MAX", "10"))  # log2 cap for XLA paths
 
 PALLAS_LADDER = os.environ.get("PALLAS_LADDER", "1") == "1"
+BUCKET = os.environ.get("BUCKET", "1") == "1"
+WINSUM = os.environ.get("WINSUM", "1") == "1"
 
-print(f"{'n':>8} {'bucket_ms':>10} {'pallas_ms':>10} {'plad_ms':>10} "
-      f"{'cpu_ms':>10} {'ladder_ms':>12} {'pippenger_ms':>12}",
-      file=sys.stderr)
+print(f"{'n':>8} {'winsum_ms':>10} {'bucket_ms':>10} {'pallas_ms':>10} "
+      f"{'plad_ms':>10} {'cpu_ms':>10} {'ladder_ms':>12} "
+      f"{'pippenger_ms':>12}", file=sys.stderr)
 rows = []
 for logn in SIZES:
     n = 1 << logn
@@ -132,8 +142,12 @@ for logn in SIZES:
         Scalar.from_ints([(7 * i + 3) % L for i in range(1, n + 1)]))
     jax.block_until_ready(pts.X.limbs)
     row = {"n": n}
-    tb = bench(bucket_msm, pts, ks)
-    row["bucket_ms"] = round(tb * 1e3, 2)
+    if WINSUM:
+        tw = bench(winsum_msm, pts, ks)
+        row["winsum_ms"] = round(tw * 1e3, 2)
+    if BUCKET:
+        tb = bench(bucket_msm, pts, ks)
+        row["bucket_ms"] = round(tb * 1e3, 2)
     tk = bench(pallas_msm, pts, ks)
     row["pallas_ms"] = round(tk * 1e3, 2)
     if PALLAS_LADDER:
@@ -148,7 +162,8 @@ for logn in SIZES:
         row.update(ladder_ms=round(tl * 1e3, 2),
                    pippenger_ms=round(tp * 1e3, 2))
     rows.append(row)
-    print(f"{n:>8} {row['bucket_ms']:>10} {row['pallas_ms']:>10} "
+    print(f"{n:>8} {row.get('winsum_ms', float('nan')):>10} "
+          f"{row.get('bucket_ms', float('nan')):>10} {row['pallas_ms']:>10} "
           f"{row.get('pallas_ladder_ms', float('nan')):>10} "
           f"{row.get('cpu_anchor_ms', float('nan')):>10} "
           f"{row.get('ladder_ms', float('nan')):>12} "
